@@ -1,0 +1,107 @@
+"""Headline benchmark: encode+decode throughput on a 3-D float32 field.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: MGARD-X CUDA single-GPU end-to-end compression throughput on 3-D
+float fields. The reference repo publishes figures only (doc/MGARD-X.md:279,
+PNG plots); the IPDPS'21/'25 papers and those plots put single-V100/A100
+end-to-end (compress+decompress) throughput in the ~5-15 GB/s range at
+eb=1e-3. We take 10 GB/s as the comparison point (BASELINE.md).
+"""
+
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+BASELINE_GBPS = 10.0
+
+
+def smooth_field_device(shape, dtype):
+    """Generate a smooth test field on-device (no host transfer)."""
+    import jax
+    import jax.numpy as jnp
+
+    axes = [jnp.linspace(0.0, 1.0, s, dtype=dtype) for s in shape]
+    f = jnp.zeros(shape, dtype=dtype)
+    for k in (1, 3, 7):
+        term = jnp.ones(shape, dtype=dtype)
+        for d, x in enumerate(axes):
+            shp = [1] * len(shape)
+            shp[d] = len(x)
+            term = term * jnp.cos(np.pi * k * x + 0.1 * k * (d + 1)).reshape(shp)
+        f = f + term / k
+    key = jax.random.PRNGKey(0)
+    f = f + 0.001 * jax.random.normal(key, shape, dtype=dtype)
+    return f
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mgard_tpu.hierarchy import Hierarchy
+    from mgard_tpu.models.compressor import Compressor
+
+    # Target 512^3; fall back if memory-constrained.
+    for edge in (512, 256, 128):
+        shape = (edge + 1, edge + 1, edge + 1) if False else (edge, edge, edge)
+        try:
+            hier = Hierarchy(shape)
+            comp = Compressor(hier, np.float32, s=math.inf)
+            v = smooth_field_device(shape, jnp.float32)
+            v.block_until_ready()
+            tol = jnp.asarray(1e-3, dtype=jnp.float32)
+
+            enc = comp._encode
+            dec = comp._decode
+
+            # Warmup / compile
+            e, w, c = enc(v, tol)
+            jax.block_until_ready((e, w, c))
+            out = dec(e, w, tol)
+            out.block_until_ready()
+
+            iters = 3
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                e, w, c = enc(v, tol)
+            jax.block_until_ready((e, w, c))
+            t_enc = (time.perf_counter() - t0) / iters
+
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = dec(e, w, tol)
+            out.block_until_ready()
+            t_dec = (time.perf_counter() - t0) / iters
+
+            nbytes = float(np.prod(shape)) * 4
+            gbps = nbytes / (t_enc + t_dec) / 1e9
+
+            # Side stats (not part of the JSON contract): error + ratio.
+            err = float(jnp.max(jnp.abs(out - v)))
+            count = int(c)
+            comp_bytes = count * 4 + int(np.asarray(e).size)
+            ratio = nbytes / comp_bytes
+            print(f"# shape={shape} t_enc={t_enc*1e3:.1f}ms "
+                  f"t_dec={t_dec*1e3:.1f}ms err={err:.3e} "
+                  f"ratio={ratio:.2f}x", file=sys.stderr)
+
+            print(json.dumps({
+                "metric": f"encode+decode GB/s/chip, {edge}^3 f32, eb=1e-3",
+                "value": round(gbps, 3),
+                "unit": "GB/s",
+                "vs_baseline": round(gbps / BASELINE_GBPS, 3),
+            }))
+            return
+        except Exception as exc:  # noqa: BLE001
+            print(f"# {shape} failed: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
+            continue
+    raise SystemExit("all bench sizes failed")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,43 @@
+"""Configuration knobs (counterpart of mgard_x::Config,
+include/mgard-x/Config/Config.h:10-42 + defaults Config.cpp:14-47)."""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class Lossless(enum.IntEnum):
+    """Lossless back end for the quantized coefficient stream."""
+    BITPLANE = 0        # TPU-native grouped bitplane codec (on-chip)
+    BITPLANE_ZSTD = 1   # bitplane + host zstd second stage (better ratio)
+    HUFFMAN_ZLIB = 2    # reference-compatible CPU Huffman + zlib (host)
+    HUFFMAN_ZSTD = 3    # reference-compatible CPU Huffman + zstd (host)
+    NONE = 4            # raw quantized int32 stream
+
+
+class Decomposition(enum.IntEnum):
+    MULTIDIM = 0        # all dims per level (reference MultiDim default)
+    # SINGLEDIM / HYBRID reserved for parity with mgard-x Types.h:19
+
+
+class ErrorMode(enum.IntEnum):
+    ABS = 0
+    REL = 1
+
+
+@dataclasses.dataclass
+class Config:
+    lossless: Lossless = Lossless.BITPLANE
+    decomposition: Decomposition = Decomposition.MULTIDIM
+    zstd_level: int = 1
+    # Threshold (bytes of input) above which compress() splits the domain
+    # into blocks (reference DomainDecomposer triggers on the device-memory
+    # footprint estimate, DomainDecomposer.hpp:72-89).
+    max_block_bytes: int = 2 << 30
+    # Target log2 block edge when domain decomposition engages.
+    block_edge: int = 256
+    log_level: int = 0
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)

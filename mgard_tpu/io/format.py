@@ -1,0 +1,135 @@
+"""Self-describing container format.
+
+Plays the role of the reference's protobuf container
+(include/format.hpp:28-63, src/mgard.proto) and the MGARD-X binary
+metadata preamble (include/mgard-x/Metadata/Metadata.hpp:20-160): a
+compressed buffer carries everything needed to decompress it — magic,
+version, CRC32-protected header with dtype/shape/coords/error-control/
+codec parameters, followed by the payload sections.
+
+Layout (little-endian):
+
+    magic     : 8 bytes  b"MGARDTPU"
+    version   : u16 major, u16 minor
+    hdr_crc32 : u32      (CRC of the header block)
+    hdr_size  : u64
+    header    : hdr_size bytes (struct-packed, see below)
+    payload   : sections, sizes recorded in header
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+import zlib
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..config import ErrorMode, Lossless
+
+MAGIC = b"MGARDTPU"
+VERSION = (1, 0)
+
+_DTYPES = {0: np.float32, 1: np.float64}
+_DTYPE_CODES = {np.dtype(np.float32): 0, np.dtype(np.float64): 1}
+
+
+@dataclasses.dataclass
+class Header:
+    dtype: np.dtype
+    shape: Tuple[int, ...]
+    uniform: bool
+    coordinates: Optional[List[np.ndarray]]  # None if uniform
+    error_mode: int          # ErrorMode
+    s: float                 # inf for L-infinity control
+    tolerance: float         # the *absolute* tolerance used for quanta
+    norm: float              # original-data norm (for REL bookkeeping)
+    lossless: int            # Lossless
+    n_levels: int
+    section_sizes: Tuple[int, ...]  # payload section byte sizes
+
+    def pack(self) -> bytes:
+        out = bytearray()
+        out += struct.pack("<BB", _DTYPE_CODES[np.dtype(self.dtype)],
+                           len(self.shape))
+        out += struct.pack(f"<{len(self.shape)}Q", *self.shape)
+        out += struct.pack("<B", 1 if self.uniform else 0)
+        if not self.uniform:
+            for c in self.coordinates:
+                c = np.asarray(c, dtype=np.float64)
+                out += struct.pack("<Q", len(c))
+                out += c.tobytes()
+        out += struct.pack("<Bddd", self.error_mode, self.s, self.tolerance,
+                           self.norm)
+        out += struct.pack("<BB", self.lossless, self.n_levels)
+        out += struct.pack("<B", len(self.section_sizes))
+        out += struct.pack(f"<{len(self.section_sizes)}Q",
+                           *self.section_sizes)
+        return bytes(out)
+
+    @classmethod
+    def unpack(cls, buf: bytes) -> "Header":
+        off = 0
+
+        def take(fmt):
+            nonlocal off
+            vals = struct.unpack_from(fmt, buf, off)
+            off += struct.calcsize(fmt)
+            return vals
+
+        dtype_code, ndim = take("<BB")
+        shape = take(f"<{ndim}Q")
+        (uniform,) = take("<B")
+        coordinates = None
+        if not uniform:
+            coordinates = []
+            for _ in range(ndim):
+                (n,) = take("<Q")
+                c = np.frombuffer(buf, dtype="<f8", count=n, offset=off)
+                off += 8 * n
+                coordinates.append(np.asarray(c))
+        error_mode, s, tolerance, norm = take("<Bddd")
+        lossless, n_levels = take("<BB")
+        (nsec,) = take("<B")
+        section_sizes = take(f"<{nsec}Q")
+        return cls(dtype=np.dtype(_DTYPES[dtype_code]), shape=tuple(shape),
+                   uniform=bool(uniform), coordinates=coordinates,
+                   error_mode=error_mode, s=s, tolerance=tolerance,
+                   norm=norm, lossless=lossless, n_levels=n_levels,
+                   section_sizes=tuple(section_sizes))
+
+
+def write_container(header: Header, sections: List[bytes]) -> bytes:
+    header = dataclasses.replace(
+        header, section_sizes=tuple(len(s) for s in sections))
+    hdr = header.pack()
+    out = bytearray()
+    out += MAGIC
+    out += struct.pack("<HH", *VERSION)
+    out += struct.pack("<I", zlib.crc32(hdr) & 0xFFFFFFFF)
+    out += struct.pack("<Q", len(hdr))
+    out += hdr
+    for s in sections:
+        out += s
+    return bytes(out)
+
+
+def read_container(buf: bytes) -> Tuple[Header, List[bytes]]:
+    if buf[:8] != MAGIC:
+        raise ValueError("not an MGARDTPU container (bad magic)")
+    major, minor = struct.unpack_from("<HH", buf, 8)
+    if major > VERSION[0]:
+        raise ValueError(f"unsupported container version {major}.{minor}")
+    (crc,) = struct.unpack_from("<I", buf, 12)
+    (hdr_size,) = struct.unpack_from("<Q", buf, 16)
+    hdr = buf[24:24 + hdr_size]
+    if (zlib.crc32(hdr) & 0xFFFFFFFF) != crc:
+        raise ValueError("header CRC mismatch — corrupted buffer")
+    header = Header.unpack(hdr)
+    off = 24 + hdr_size
+    sections = []
+    for size in header.section_sizes:
+        sections.append(buf[off:off + size])
+        off += size
+    return header, sections

@@ -1,0 +1,170 @@
+"""The low-level compressor pipeline: one device, one (sub)domain.
+
+Counterpart of ``mgard_x::Compressor``
+(include/mgard-x/CompressionLowLevel/Compressor.hpp:132-292):
+
+    CalculateNorm -> Decompose -> Quantize -> LosslessCompress -> Serialize
+
+All device work is two jitted functions (`encode_kernel`, `decode_kernel`)
+with static shapes; host code only moves the variable-length tails and
+assembles the container bytes.  Compressor instances are cached per
+(shape, dtype, coords, s, lossless) like the reference's CompressorCache
+(include/mgard-x/CompressionLowLevel/CompressorCache.hpp:45-141).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, ErrorMode, Lossless
+from ..hierarchy import Hierarchy
+from ..io import format as fmt
+from ..ops import bitplane, transform
+from ..ops.quantize import dequantize_blocks, quantize_blocks
+
+
+def _block_sizes(hier: Hierarchy) -> List[int]:
+    return [int(np.prod(bs)) for (_, _, bs, _) in transform.block_specs(hier)]
+
+
+class Compressor:
+    """Error-bounded compressor for one fixed (shape, dtype, grid)."""
+
+    def __init__(self, hier: Hierarchy, dtype, s: float = math.inf,
+                 config: Optional[Config] = None):
+        self.hier = hier
+        self.dtype = np.dtype(dtype)
+        self.s = float(s)
+        self.config = config or Config()
+        self._encode = jax.jit(self._encode_impl)
+        self._decode = jax.jit(self._decode_impl)
+        self._norm = jax.jit(self._norm_impl)
+
+    # ------------------------------------------------------------------
+    # jitted kernels
+    # ------------------------------------------------------------------
+    def _encode_impl(self, v: jax.Array, tol: jax.Array):
+        hier = self.hier
+        pyr = transform.decompose(hier, v)
+        blocks = transform.pyramid_to_blocks(hier, pyr)
+        qblocks = quantize_blocks(hier, blocks, self.s, tol)
+        flat = jnp.concatenate([q.reshape(-1) for q in qblocks])
+        exponents, words, count = bitplane.encode(flat)
+        return exponents, words, count
+
+    def _decode_impl(self, exponents: jax.Array, words: jax.Array,
+                     tol: jax.Array):
+        hier = self.hier
+        flat = bitplane.decode(exponents, words, hier.ndof())
+        sizes = _block_sizes(hier)
+        specs = transform.block_specs(hier)
+        qblocks = []
+        off = 0
+        for size, (_, _, bs, _) in zip(sizes, specs):
+            qblocks.append(
+                jax.lax.dynamic_slice_in_dim(flat, off, size).reshape(bs))
+            off += size
+        blocks = dequantize_blocks(hier, qblocks, self.s, tol, self.dtype)
+        pyr = transform.blocks_to_pyramid(hier, blocks)
+        return transform.recompose(hier, pyr)
+
+    def _norm_impl(self, v: jax.Array):
+        """Norm used for REL -> ABS conversion (reference NormCalculator,
+        include/mgard-x/CompressionLowLevel/NormCalculator.hpp:12-60):
+        abs-max for L-infinity control, L2 norm otherwise."""
+        if math.isinf(self.s):
+            return jnp.max(jnp.abs(v))
+        return jnp.sqrt(jnp.sum(v.astype(jnp.float64) ** 2)).astype(v.dtype)
+
+    # ------------------------------------------------------------------
+    # host-facing API
+    # ------------------------------------------------------------------
+    def compress(self, v, tolerance: float,
+                 mode: ErrorMode = ErrorMode.ABS) -> bytes:
+        v = jnp.asarray(v, dtype=self.dtype)
+        if tuple(v.shape) != self.hier.shape:
+            raise ValueError(
+                f"expected shape {self.hier.shape}, got {v.shape}")
+        norm = 1.0
+        abs_tol = float(tolerance)
+        if mode == ErrorMode.REL:
+            norm = float(self._norm(v))
+            abs_tol = float(tolerance) * norm
+
+        exponents, words, count = self._encode(v, abs_tol)
+        count = int(count)
+        exp_np = np.asarray(exponents)
+        words_np = np.asarray(words)[:count]
+
+        lossless = self.config.lossless
+        exp_bytes = exp_np.tobytes()
+        word_bytes = words_np.astype("<u4").tobytes()
+        if lossless == Lossless.BITPLANE_ZSTD:
+            import zstandard
+            cctx = zstandard.ZstdCompressor(level=self.config.zstd_level)
+            exp_bytes = cctx.compress(exp_bytes)
+            word_bytes = cctx.compress(word_bytes)
+
+        header = fmt.Header(
+            dtype=self.dtype, shape=self.hier.shape,
+            uniform=self.hier.uniform,
+            coordinates=None if self.hier.uniform else self.hier.coordinates,
+            error_mode=int(mode), s=self.s, tolerance=abs_tol, norm=norm,
+            lossless=int(lossless), n_levels=self.hier.L,
+            section_sizes=())
+        return fmt.write_container(header, [exp_bytes, word_bytes])
+
+    def decompress(self, buf: bytes) -> np.ndarray:
+        header, sections = fmt.read_container(buf)
+        return self.decompress_parsed(header, sections)
+
+    def decompress_parsed(self, header: fmt.Header,
+                          sections: List[bytes]) -> np.ndarray:
+        if tuple(header.shape) != self.hier.shape:
+            raise ValueError("container shape mismatch")
+        exp_bytes, word_bytes = sections[0], sections[1]
+        if header.lossless == int(Lossless.BITPLANE_ZSTD):
+            import zstandard
+            dctx = zstandard.ZstdDecompressor()
+            ngroups = -(-self.hier.ndof() // bitplane.GROUP)
+            exp_bytes = dctx.decompress(exp_bytes, max_output_size=ngroups)
+            word_bytes = dctx.decompress(
+                word_bytes,
+                max_output_size=4 * bitplane.max_words(self.hier.ndof()))
+        exponents = np.frombuffer(exp_bytes, dtype=np.uint8)
+        words = np.frombuffer(word_bytes, dtype="<u4")
+        cap = bitplane.max_words(self.hier.ndof())
+        words_full = np.zeros(cap, dtype=np.uint32)
+        words_full[:len(words)] = words
+        out = self._decode(jnp.asarray(exponents), jnp.asarray(words_full),
+                           header.tolerance)
+        return np.asarray(out)
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_compressor(shape: Tuple[int, ...], dtype_str: str, s: float,
+                       coords_key, config_key) -> Compressor:
+    coords = None if coords_key is None else [
+        np.asarray(c) for c in coords_key]
+    hier = Hierarchy(shape, coordinates=coords)
+    lossless, zstd_level = config_key
+    cfg = Config(lossless=Lossless(lossless), zstd_level=zstd_level)
+    return Compressor(hier, np.dtype(dtype_str), s=s, config=cfg)
+
+
+def get_compressor(shape, dtype, s: float = math.inf, coordinates=None,
+                   config: Optional[Config] = None) -> Compressor:
+    """Cached compressor lookup (reference HierarchyCache/CompressorCache)."""
+    cfg = config or Config()
+    coords_key = None
+    if coordinates is not None:
+        coords_key = tuple(tuple(float(x) for x in c) for c in coordinates)
+    return _cached_compressor(tuple(int(x) for x in shape),
+                              np.dtype(dtype).str, float(s), coords_key,
+                              (int(cfg.lossless), cfg.zstd_level))
