@@ -47,7 +47,7 @@ def main():
 
     # Target 512^3; fall back if memory-constrained.
     for edge in (512, 256, 128):
-        shape = (edge + 1, edge + 1, edge + 1) if False else (edge, edge, edge)
+        shape = (edge, edge, edge)
         try:
             hier = Hierarchy(shape)
             comp = Compressor(hier, np.float32, s=math.inf)

@@ -1,0 +1,82 @@
+import math
+
+import numpy as np
+import pytest
+
+from mgard_tpu.hierarchy import Hierarchy
+from mgard_tpu.models import mdr
+from tests.test_compress_e2e import smooth_field
+
+
+def test_refactor_full_reconstruct_exact_ish():
+    shape = (17, 17)
+    h = Hierarchy(shape)
+    v = smooth_field(shape, seed=40).astype(np.float64)
+    res = mdr.mdr_refactor(h, v, B=30)
+    out = mdr.mdr_reconstruct(h, res, tol=1e-12)
+    # All bitplanes fetched -> error at the fixed-point resolution.
+    assert np.abs(out - v).max() < 1e-6
+
+
+@pytest.mark.parametrize("tol", [1e-1, 1e-2, 1e-3])
+def test_progressive_tolerance(tol):
+    shape = (17, 17)
+    h = Hierarchy(shape)
+    v = smooth_field(shape, seed=41).astype(np.float64)
+    res = mdr.mdr_refactor(h, v, B=30)
+    out = mdr.mdr_reconstruct(h, res, tol=tol)
+    assert np.abs(out - v).max() <= tol
+
+
+def test_fewer_planes_for_looser_tol():
+    shape = (17, 17)
+    h = Hierarchy(shape)
+    v = smooth_field(shape, seed=42).astype(np.float64)
+    res = mdr.mdr_refactor(h, v, B=30)
+    c_loose = mdr.mdr_request(res.metadata, 1e-1)
+    c_tight = mdr.mdr_request(res.metadata, 1e-4)
+    assert sum(c_loose) < sum(c_tight)
+
+
+def test_incremental_refinement_reuses_state():
+    shape = (17, 17)
+    h = Hierarchy(shape)
+    v = smooth_field(shape, seed=43).astype(np.float64)
+    res = mdr.mdr_refactor(h, v, B=30)
+    md = res.metadata
+
+    rec = mdr.MDReconstructor(h, md)
+    c1 = mdr.mdr_request(md, 1e-1)
+    for l, c in enumerate(c1):
+        streams = {0: res.streams[l][0]}
+        for b in range(c):
+            streams[1 + b] = res.streams[l][1 + b]
+        rec.add_streams(l, streams)
+    out1 = rec.reconstruct(c1)
+    assert np.abs(out1 - v).max() <= 1e-1
+
+    # Refine: fetch only the extra planes.
+    c2 = mdr.mdr_request(md, 1e-3)
+    for l in range(len(md.levels)):
+        extra = {}
+        for b in range(c1[l], c2[l]):
+            extra[1 + b] = res.streams[l][1 + b]
+        if extra:
+            rec.add_streams(l, extra)
+    out2 = rec.reconstruct(c2)
+    assert np.abs(out2 - v).max() <= 1e-3
+    assert np.abs(out2 - v).max() <= np.abs(out1 - v).max()
+
+
+def test_metadata_roundtrip():
+    shape = (9, 9)
+    h = Hierarchy(shape)
+    v = smooth_field(shape, seed=44)
+    res = mdr.mdr_refactor(h, v, B=16)
+    buf = res.metadata.pack()
+    md2 = mdr.MDRMetadata.unpack(buf)
+    assert md2.shape == res.metadata.shape
+    assert md2.num_bitplanes == 16
+    for a, b in zip(res.metadata.levels, md2.levels):
+        assert a.n == b.n and a.exponent == b.exponent
+        np.testing.assert_allclose(a.sq_errors, b.sq_errors)
