@@ -45,13 +45,18 @@ def compress(data, tolerance: float, s: float = math.inf,
 
 
 def decompress(buf: bytes) -> np.ndarray:
-    """Decompress a self-describing buffer produced by :func:`compress`.
+    """Decompress a self-describing buffer.
 
-    All parameters (shape, dtype, grid, error control, codec) are read from
-    the container header (reference compress_internal dispatch,
+    Accepts both this framework's containers and reference-MGARD CPU
+    buffers (magic ``MGARD``); all parameters are read from the header
+    (reference compress_internal dispatch,
     include/compress_internal.hpp:28-60).
     """
-    header, sections = fmt.read_container(bytes(buf))
+    buf = bytes(buf)
+    if buf[:8] != fmt.MAGIC and buf[:5] == b"MGARD":
+        from .io import mgard_compat
+        return mgard_compat.decompress_mgard(buf)
+    header, sections = fmt.read_container(buf)
     comp = get_compressor(header.shape, header.dtype, s=header.s,
                           coordinates=header.coordinates)
     return comp.decompress_parsed(header, sections)

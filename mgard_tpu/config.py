@@ -9,11 +9,13 @@ import enum
 
 class Lossless(enum.IntEnum):
     """Lossless back end for the quantized coefficient stream."""
-    BITPLANE = 0        # TPU-native grouped bitplane codec (on-chip)
-    BITPLANE_ZSTD = 1   # bitplane + host zstd second stage (better ratio)
+    BITPLANE = 0        # TPU-native chunked bitplane codec (fastest)
+    BITPLANE_ZSTD = 1   # chunked bitplane + host zstd second stage
     HUFFMAN_ZLIB = 2    # reference-compatible CPU Huffman + zlib (host)
     HUFFMAN_ZSTD = 3    # reference-compatible CPU Huffman + zstd (host)
     NONE = 4            # raw quantized int32 stream
+    BITPLANE_GROUP = 5  # per-32-value-group exponents (best on-chip ratio)
+    BITPLANE_GROUP_ZSTD = 6  # per-group + host zstd second stage
 
 
 class Decomposition(enum.IntEnum):

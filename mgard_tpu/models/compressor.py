@@ -42,37 +42,55 @@ class Compressor:
         self.dtype = np.dtype(dtype)
         self.s = float(s)
         self.config = config or Config()
-        self._encode = jax.jit(self._encode_impl)
-        self._decode = jax.jit(self._decode_impl)
+        # Adaptive default: per-chunk exponents need scale to pay off (a
+        # chunk is 4096 values); small domains get per-group granularity.
+        lossless = self.config.lossless
+        if hier.ndof() < (1 << 22):
+            if lossless == Lossless.BITPLANE:
+                lossless = Lossless.BITPLANE_GROUP
+            elif lossless == Lossless.BITPLANE_ZSTD:
+                lossless = Lossless.BITPLANE_GROUP_ZSTD
+        self.lossless = lossless
+        grouped = lossless in (Lossless.BITPLANE_GROUP,
+                               Lossless.BITPLANE_GROUP_ZSTD)
+        self._encode = jax.jit(functools.partial(self._encode_impl,
+                                                 grouped=grouped))
+        self._decode = self._decode_fn(grouped)
         self._norm = jax.jit(self._norm_impl)
 
     # ------------------------------------------------------------------
     # jitted kernels
     # ------------------------------------------------------------------
-    def _encode_impl(self, v: jax.Array, tol: jax.Array):
+    def _encode_impl(self, v: jax.Array, tol: jax.Array, grouped: bool):
         hier = self.hier
         pyr = transform.decompose(hier, v)
         blocks = transform.pyramid_to_blocks(hier, pyr)
         qblocks = quantize_blocks(hier, blocks, self.s, tol)
         flat = jnp.concatenate([q.reshape(-1) for q in qblocks])
-        exponents, words, count = bitplane.encode(flat)
+        enc = bitplane.encode_pergroup if grouped else bitplane.encode
+        exponents, words, count = enc(flat)
         return exponents, words, count
 
-    def _decode_impl(self, exponents: jax.Array, words: jax.Array,
-                     tol: jax.Array):
-        hier = self.hier
-        flat = bitplane.decode(exponents, words, hier.ndof())
-        sizes = _block_sizes(hier)
-        specs = transform.block_specs(hier)
-        qblocks = []
-        off = 0
-        for size, (_, _, bs, _) in zip(sizes, specs):
-            qblocks.append(
-                jax.lax.dynamic_slice_in_dim(flat, off, size).reshape(bs))
-            off += size
-        blocks = dequantize_blocks(hier, qblocks, self.s, tol, self.dtype)
-        pyr = transform.blocks_to_pyramid(hier, blocks)
-        return transform.recompose(hier, pyr)
+    @functools.lru_cache(maxsize=4)
+    def _decode_fn(self, grouped: bool):
+        def impl(exponents: jax.Array, words: jax.Array, tol: jax.Array):
+            hier = self.hier
+            dec = (bitplane.decode_pergroup if grouped
+                   else bitplane.decode)
+            flat = dec(exponents, words, hier.ndof())
+            sizes = _block_sizes(hier)
+            specs = transform.block_specs(hier)
+            qblocks = []
+            off = 0
+            for size, (_, _, bs, _) in zip(sizes, specs):
+                qblocks.append(jax.lax.dynamic_slice_in_dim(
+                    flat, off, size).reshape(bs))
+                off += size
+            blocks = dequantize_blocks(hier, qblocks, self.s, tol,
+                                       self.dtype)
+            pyr = transform.blocks_to_pyramid(hier, blocks)
+            return transform.recompose(hier, pyr)
+        return jax.jit(impl)
 
     def _norm_impl(self, v: jax.Array):
         """Norm used for REL -> ABS conversion (reference NormCalculator,
@@ -102,10 +120,11 @@ class Compressor:
         exp_np = np.asarray(exponents)
         words_np = np.asarray(words)[:count]
 
-        lossless = self.config.lossless
+        lossless = self.lossless
         exp_bytes = exp_np.tobytes()
         word_bytes = words_np.astype("<u4").tobytes()
-        if lossless == Lossless.BITPLANE_ZSTD:
+        if lossless in (Lossless.BITPLANE_ZSTD,
+                        Lossless.BITPLANE_GROUP_ZSTD):
             import zstandard
             cctx = zstandard.ZstdCompressor(level=self.config.zstd_level)
             exp_bytes = cctx.compress(exp_bytes)
@@ -129,21 +148,27 @@ class Compressor:
         if tuple(header.shape) != self.hier.shape:
             raise ValueError("container shape mismatch")
         exp_bytes, word_bytes = sections[0], sections[1]
-        if header.lossless == int(Lossless.BITPLANE_ZSTD):
+        ndof = self.hier.ndof()
+        grouped = header.lossless in (int(Lossless.BITPLANE_GROUP),
+                                      int(Lossless.BITPLANE_GROUP_ZSTD))
+        # per-group exponent arrays are padded to whole chunks by _to_rows
+        n_exp = (bitplane.num_chunks(ndof) * bitplane.CHUNK_GROUPS
+                 if grouped else bitplane.num_chunks(ndof))
+        if header.lossless in (int(Lossless.BITPLANE_ZSTD),
+                               int(Lossless.BITPLANE_GROUP_ZSTD)):
             import zstandard
             dctx = zstandard.ZstdDecompressor()
-            ngroups = -(-self.hier.ndof() // bitplane.GROUP)
-            exp_bytes = dctx.decompress(exp_bytes, max_output_size=ngroups)
+            exp_bytes = dctx.decompress(exp_bytes, max_output_size=n_exp)
             word_bytes = dctx.decompress(
-                word_bytes,
-                max_output_size=4 * bitplane.max_words(self.hier.ndof()))
+                word_bytes, max_output_size=4 * bitplane.max_words(ndof))
         exponents = np.frombuffer(exp_bytes, dtype=np.uint8)
         words = np.frombuffer(word_bytes, dtype="<u4")
-        cap = bitplane.max_words(self.hier.ndof())
+        cap = bitplane.max_words(ndof)
         words_full = np.zeros(cap, dtype=np.uint32)
         words_full[:len(words)] = words
-        out = self._decode(jnp.asarray(exponents), jnp.asarray(words_full),
-                           header.tolerance)
+        out = self._decode_fn(grouped)(
+            jnp.asarray(exponents), jnp.asarray(words_full),
+            header.tolerance)
         return np.asarray(out)
 
 

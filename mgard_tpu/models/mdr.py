@@ -32,7 +32,7 @@ import numpy as np
 
 from ..hierarchy import Hierarchy
 from ..ops import transform
-from ..ops.bitplane import GROUP, _bit_transpose, _bit_untranspose, _pow2_lanes
+from ..ops.bitplane import GROUP, transpose32
 
 NUM_BITPLANES = 30  # magnitude planes (fits uint32 with headroom)
 
@@ -145,13 +145,14 @@ def encode_level(flat: jax.Array, B: int):
                     2.0 ** B - 1).astype(jnp.uint32)
     neg = (flat < 0).astype(jnp.uint32)
 
-    mg = m.reshape(ngroups, GROUP)
-    sg = neg.reshape(ngroups, GROUP)
-    sign_words = jnp.sum(sg * _pow2_lanes(), axis=-1, dtype=jnp.uint32)
-    planes_lsb = _bit_transpose(mg)          # (G, 32) LSB-first
+    mt = m.reshape(ngroups, GROUP).T         # (32, G)
+    st = neg.reshape(ngroups, GROUP).T
+    planes_lsb = transpose32(mt)             # (32, G): row b = bitplane b
+    sign_words = jnp.zeros(ngroups, dtype=jnp.uint32)
+    for i in range(GROUP):
+        sign_words = sign_words | (st[i] << np.uint32(i))
     # keep B planes, MSB first: plane b (0=MSB) is bit index B-1-b
-    order = np.arange(B - 1, -1, -1)
-    planes = planes_lsb[:, order].T          # (B, G)
+    planes = planes_lsb[np.arange(B - 1, -1, -1)]  # (B, G)
 
     inv_scale = 1.0 / scale
     sq_err = []
@@ -169,22 +170,29 @@ def decode_level(sign_words: jax.Array, planes: jax.Array, e: jax.Array,
                  B: int, b_kept: int, n: int, dtype):
     """Reconstruct one level from its first ``b_kept`` bitplanes."""
     ngroups = sign_words.shape[0]
-    full = jnp.zeros((ngroups, GROUP), dtype=jnp.uint32)
-    if b_kept > 0:
-        # place plane b (MSB-first) back at bit index B-1-b
-        for b in range(b_kept):
-            full = full.at[:, B - 1 - b].set(planes[b])
-    m = _bit_untranspose(full)  # (G, 32)
+    zero = jnp.zeros((1, ngroups), dtype=jnp.uint32)
+    rows = []
+    for bit in range(GROUP - 1, -1, -1):
+        # bitplane with LSB index `bit` is stored plane B-1-bit (MSB first)
+        k = B - 1 - bit
+        if 0 <= k < b_kept:
+            rows.append(planes[k][None, :])
+        else:
+            rows.append(zero)
+    full = jnp.concatenate(rows[::-1], axis=0)   # (32, G), row b = plane b
+    mt = transpose32(full)                        # (32, G): row i = value i
     scale = jnp.exp2((B - e).astype(jnp.float64)).astype(dtype)
-    vals = m.astype(dtype) / scale
-    if b_kept > 0 and b_kept < B:
+    m = mt.astype(dtype)
+    if 0 < b_kept < B:
         # midpoint correction for the dropped planes of nonzero values
-        half = (2.0 ** (B - b_kept - 1))
-        vals = vals + jnp.where(m > 0, half, 0.0).astype(dtype) / scale
-    neg = (sign_words[:, None] >> jnp.asarray(
-        np.arange(GROUP, dtype=np.uint32))) & np.uint32(1)
-    vals = jnp.where(neg == 1, -vals, vals)
-    return vals.reshape(-1)[:n]
+        half = 2.0 ** (B - b_kept - 1)
+        m = m + jnp.where(mt > 0, half, 0.0).astype(dtype)
+    vals = m / scale
+    out = []
+    for i in range(GROUP):
+        negbit = (sign_words >> np.uint32(i)) & np.uint32(1)
+        out.append(jnp.where(negbit == 1, -vals[i], vals[i]))
+    return jnp.stack(out, axis=0).T.reshape(-1)[:n]
 
 
 # ---------------------------------------------------------------------------

@@ -1,27 +1,36 @@
 """TPU-native lossless codec for quantized coefficients.
 
-Grouped bitplane coding with per-group exponents — the role Huffman+deflate
-plays in the reference (include/compressors.hpp, src/compressors.cpp:316-512),
-re-designed for the TPU's execution model:
+Grouped bitplane coding — the role Huffman+deflate plays in the reference
+(include/compressors.hpp, src/compressors.cpp:316-512), re-designed for the
+TPU's execution model:
 
   * values are processed in groups of 32; each group is bit-transposed so
     that bitplane ``b`` of the 32 magnitudes becomes one ``uint32`` word
-    (the same primitive as the reference MDR GroupedBPEncoder,
+    (same primitive as the reference MDR GroupedBPEncoder,
     include/mgard-x/MDR-X/BitplaneEncoder/GroupedBPEncoderGPU.hpp:44-120);
-  * a group with max magnitude needing ``e`` bits emits ``1 + e`` words
-    (sign word, then bitplanes MSB -> LSB); an all-zero group emits nothing;
-  * the variable-length streams are concatenated *word-aligned*, so the
-    "condense" step is a single big gather driven by a cumsum of per-group
-    counts — no bit-granularity shifting, no serial dependence, no atomics.
+  * the transpose is the classic 32x32 butterfly (5 masked shift/xor
+    rounds), vectorized across groups with the *group* axis minor — all
+    arrays are (32, G) or flat 1-D, never (G, 32): a u32 array with a
+    32-wide minor axis pads 4x on TPU tiles;
+  * variable-length output is concatenated **tile-aligned** (128-word
+    units) so the condense step is a gather of 512-byte rows driven by a
+    cumsum over chunks — no bit shifting, no serial scan, no atomics.
 
-Everything is static-shaped and jittable: the encoder writes into a
-fixed-capacity word buffer and returns the true word count as a scalar
-(the reference handles variable output the same way via its
-``OutputTooLargeFailure`` pattern).
+Two layouts share the machinery:
 
-Storing planes MSB-first makes the stream *progressively truncatable* per
-group, which is exactly the primitive MDR needs for multiresolution
-retrieval.
+  ``encode``/``decode`` (chunked, the default): a chunk is 128 groups
+  (4096 values).  A chunk with max-magnitude bit-length ``e`` emits
+  ``1 + e`` rows of 128 words (sign row, then bitplanes MSB->LSB); an
+  all-zero chunk emits nothing.  Perfectly aligned, very fast; exponent
+  granularity is per-chunk.
+
+  ``encode_pergroup``/``decode_pergroup``: per-32-value exponents and
+  word-granular condense — better ratio, more index math; used where
+  ratio matters more than throughput.
+
+Everything is static-shaped and jittable: encoders write into a
+fixed-capacity buffer and return the true word count as a scalar (the
+reference's ``OutputTooLargeFailure`` pattern for variable output).
 """
 
 from __future__ import annotations
@@ -31,142 +40,242 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
-    "encode", "decode", "GROUP", "max_words", "encoded_nbytes",
+    "encode", "decode", "encode_pergroup", "decode_pergroup",
+    "GROUP", "CHUNK_GROUPS", "max_words", "encoded_nbytes",
+    "transpose32",
 ]
 
-GROUP = 32  # values per group == bits per word
+GROUP = 32          # values per group == bits per word
+CHUNK_GROUPS = 128  # groups per chunk == words per emitted row (tile width)
+
+
+def num_chunks(n: int) -> int:
+    return -(-(-(-n // GROUP)) // CHUNK_GROUPS)
 
 
 def max_words(n: int) -> int:
     """Capacity of the word buffer for ``n`` values (worst case 33/32)."""
-    ngroups = -(-n // GROUP)
-    return ngroups * (GROUP + 1)
+    return num_chunks(n) * CHUNK_GROUPS * (GROUP + 1)
 
 
 def encoded_nbytes(exponents, count):
     """Total payload bytes given encoder outputs."""
-    return exponents.size + 4 * count
+    return int(np.asarray(exponents).size) + 4 * int(count)
 
 
-def _pow2_lanes(dtype=jnp.uint32):
-    return jnp.asarray(
-        np.asarray([1 << i for i in range(GROUP)], dtype=np.uint32),
-        dtype=dtype)
+# ---------------------------------------------------------------------------
+# 32x32 bit-matrix transpose, vectorized over the minor axis
+# ---------------------------------------------------------------------------
+
+_MASKS = [np.uint32(0x0000FFFF), np.uint32(0x00FF00FF),
+          np.uint32(0x0F0F0F0F), np.uint32(0x33333333),
+          np.uint32(0x55555555)]
+_SHIFTS = [16, 8, 4, 2, 1]
 
 
-def _bit_transpose(m: jax.Array) -> jax.Array:
-    """(ngroups, 32) uint32 magnitudes -> (ngroups, 32) plane words.
+def transpose32(x: jax.Array) -> jax.Array:
+    """Transpose a batch of 32x32 bit matrices.
 
-    Output[:, b] has bit i = bit b of value i of the group.
+    ``x``: (32, G) uint32.  Row i, lane g holds word ``x[i, g]``.  Viewing
+    bit j of row i as matrix element (i, j) of group g, returns the
+    (32, G) array with elements (j, i).  Involution: applying twice gives
+    the input back.  5 masked shift/xor rounds (Hacker's-Delight style),
+    each a few full-array VPU ops — no per-bit reduction.
     """
-    lanes = _pow2_lanes()
-    planes = []
-    for b in range(GROUP):
-        bits = (m >> np.uint32(b)) & np.uint32(1)
-        planes.append(jnp.sum(bits * lanes, axis=-1, dtype=jnp.uint32))
-    return jnp.stack(planes, axis=-1)
+    for mask, sh in zip(_MASKS, _SHIFTS):
+        # rows are paired (i, i+sh) for i with (i & sh) == 0
+        idx0 = [i for i in range(32) if not (i & sh)]
+        a = x[np.asarray(idx0)]               # (16, G)
+        b = x[np.asarray([i | sh for i in idx0])]
+        t = ((a >> np.uint32(sh)) ^ b) & mask
+        b = b ^ t
+        a = a ^ (t << np.uint32(sh))
+        # reassemble preserving row order
+        out = [None] * 32
+        for k, i in enumerate(idx0):
+            out[i] = a[k]
+            out[i | sh] = b[k]
+        x = jnp.stack(out, axis=0)
+    return x
 
 
-def _bit_untranspose(planes: jax.Array) -> jax.Array:
-    """Inverse of :func:`_bit_transpose`."""
-    ngroups = planes.shape[0]
-    out = jnp.zeros((ngroups, GROUP), dtype=jnp.uint32)
-    for b in range(GROUP):
-        word = planes[:, b]
-        bits = (word[:, None] >> _pow2_lanes_log()) & np.uint32(1)
-        out = out | (bits << np.uint32(b))
-    return out
-
-
-def _pow2_lanes_log():
-    return jnp.asarray(np.arange(GROUP, dtype=np.uint32))
-
-
-def _group_exponent(m: jax.Array) -> jax.Array:
-    """Bits needed for the max magnitude of each group: (ngroups,) int32."""
-    gmax = jnp.max(m, axis=-1)
-    # Integer bit-length (floor(log2)+1) via 5-step binary search — exact
-    # for the full uint32 range, no float roundoff.
-    x = jnp.maximum(gmax, np.uint32(1))
-    e = jnp.zeros_like(gmax, dtype=jnp.int32)
+def _bit_length32(x: jax.Array) -> jax.Array:
+    """Integer bit length of uint32 values (0 -> 0), exact."""
+    e = jnp.zeros(x.shape, dtype=jnp.int32)
+    v = x
     for shift in (16, 8, 4, 2, 1):
-        big = x >= (np.uint32(1) << np.uint32(shift))
+        big = v >= (np.uint32(1) << np.uint32(shift))
         e = e + jnp.where(big, shift, 0).astype(jnp.int32)
-        x = jnp.where(big, x >> np.uint32(shift), x)
-    e = e + 1  # floor(log2) + 1 bits
-    return jnp.where(gmax == 0, 0, e)
+        v = jnp.where(big, v >> np.uint32(shift), v)
+    return jnp.where(x == 0, 0, e + 1)
 
+
+def _to_rows(q: jax.Array):
+    """int32 (n,) -> sign row (G,), magnitude planes (32, G) LSB-first,
+    group count G."""
+    n = q.shape[0]
+    ngroups = -(-n // GROUP)
+    nchunks = -(-ngroups // CHUNK_GROUPS)
+    ngroups = nchunks * CHUNK_GROUPS  # pad groups to whole chunks
+    pad = ngroups * GROUP - n
+    if pad:
+        q = jnp.concatenate([q, jnp.zeros(pad, dtype=q.dtype)])
+    m = jnp.abs(q).astype(jnp.uint32)
+    neg = (q < 0).astype(jnp.uint32)
+    # lane-transposed view: vals[i, g] = value 32*g + i
+    mt = m.reshape(ngroups, GROUP).T       # (32, G)
+    st = neg.reshape(ngroups, GROUP).T
+    planes = transpose32(mt)               # planes[b, g] = bits b of group g
+    # sign word per group: bit i = sign of value i — row 0..31 of st hold
+    # one bit each; pack with the same butterfly by transposing a matrix
+    # whose row 0 is the sign bits: cheaper: sum shifted rows.
+    sign = jnp.zeros(st.shape[1], dtype=jnp.uint32)
+    for i in range(GROUP):
+        sign = sign | (st[i] << np.uint32(i))
+    return sign, planes, ngroups
+
+
+def _from_rows(sign: jax.Array, planes: jax.Array, n: int) -> jax.Array:
+    """Inverse of :func:`_to_rows`."""
+    mt = transpose32(planes)               # (32, G) magnitudes, row i = val i
+    vals = mt.astype(jnp.int32)
+    out = []
+    for i in range(GROUP):
+        neg = (sign >> np.uint32(i)) & np.uint32(1)
+        out.append(jnp.where(neg == 1, -vals[i], vals[i]))
+    return jnp.stack(out, axis=0).T.reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------------------
+# Chunked codec (default): per-chunk exponents, 128-word aligned rows
+# ---------------------------------------------------------------------------
 
 def encode(q: jax.Array):
     """Encode an int32 vector.
 
-    Returns ``(exponents uint8 (ngroups,), words uint32 (max_words,),
-    count int32 scalar)``.  Only ``words[:count]`` is meaningful.
+    Returns ``(chunk_exponents uint8 (nchunks,), words uint32 (cap,),
+    count int32 scalar)``; only ``words[:count]`` is meaningful.
     """
     n = q.shape[0]
-    ngroups = -(-n // GROUP)
-    pad = ngroups * GROUP - n
-    if pad:
-        q = jnp.concatenate([q, jnp.zeros(pad, dtype=q.dtype)])
-    qg = q.reshape(ngroups, GROUP)
-    m = jnp.abs(qg).astype(jnp.uint32)
-    neg = (qg < 0).astype(jnp.uint32)
+    sign, planes, ngroups = _to_rows(q)
+    nchunks = ngroups // CHUNK_GROUPS
+    C = CHUNK_GROUPS
 
-    sign_word = jnp.sum(neg * _pow2_lanes(), axis=-1, dtype=jnp.uint32)
-    planes = _bit_transpose(m)  # (ngroups, 32), LSB-first along axis 1
+    # per-chunk exponent: bits needed by the max magnitude in the chunk.
+    # max magnitude bit-length == bit-length of OR over the chunk of all
+    # plane words' occupancy: plane b nonzero somewhere in chunk <=> some
+    # value has bit b.
+    occ = (planes.reshape(GROUP, nchunks, C) != 0).any(axis=2)  # (32, nc)
+    bit_idx = jnp.arange(1, GROUP + 1, dtype=jnp.int32)[:, None]
+    e = jnp.max(jnp.where(occ, bit_idx, 0), axis=0)             # (nchunks,)
 
-    e = _group_exponent(m)  # (ngroups,)
-    counts = jnp.where(e > 0, e + 1, 0)
-    offsets = jnp.cumsum(counts) - counts  # exclusive
-    total = offsets[-1] + counts[-1]
+    counts = jnp.where(e > 0, e + 1, 0)                         # rows/chunk
+    offsets = jnp.cumsum(counts) - counts
+    total_rows = offsets[-1] + counts[-1]
 
-    # Per-group padded layout: [sign, plane_{e-1}, ..., plane_0, junk...]
-    # i.e. slot k of group g (k >= 1) holds plane (e_g - k), MSB first.
-    slot = jnp.arange(GROUP + 1, dtype=jnp.int32)[None, :]       # (1, 33)
-    plane_idx = e[:, None] - slot                                # e-k
-    plane_idx_c = jnp.clip(plane_idx, 0, GROUP - 1)
-    gathered = jnp.take_along_axis(planes, plane_idx_c, axis=1)  # (g, 33)
-    padded = jnp.concatenate([sign_word[:, None], gathered[:, 1:]], axis=1)
+    # padded per-chunk rows: row 0 = signs; row k (1..32) = plane e-k
+    # (MSB first).  Build as (nchunks, 33, C) with the 128-wide minor axis.
+    planes_c = planes.reshape(GROUP, nchunks, C).transpose(1, 0, 2)
+    sign_c = sign.reshape(nchunks, 1, C)
+    k = jnp.arange(1, GROUP + 1, dtype=jnp.int32)[None, :, None]
+    src_plane = jnp.clip(e[:, None, None] - k, 0, GROUP - 1)    # (nc,32,1)
+    ordered = jnp.take_along_axis(planes_c, src_plane, axis=1)  # (nc,32,C)
+    padded = jnp.concatenate([sign_c, ordered], axis=1)         # (nc,33,C)
+    padded = padded.reshape(nchunks * (GROUP + 1), C)
 
-    # Condense: out[j] = padded[g(j), j - offsets[g(j)] ] for j < total.
-    cap = ngroups * (GROUP + 1)
-    marks = jnp.zeros(cap + 1, dtype=jnp.int32).at[offsets].add(
+    # condense rows: out_row[j] = padded[chunk(j)*(33) + j - offsets[chunk]]
+    cap_rows = nchunks * (GROUP + 1)
+    marks = jnp.zeros(cap_rows + 1, dtype=jnp.int32).at[offsets].add(
         1, indices_are_sorted=True)
-    gid = jnp.cumsum(marks[:-1]) - 1                             # (cap,)
-    gid = jnp.clip(gid, 0, ngroups - 1)
-    j = jnp.arange(cap, dtype=jnp.int32)
-    slot_of_j = j - offsets[gid]
-    src = gid * (GROUP + 1) + jnp.clip(slot_of_j, 0, GROUP)
-    words = jnp.take(padded.reshape(-1), src)
-    words = jnp.where(j < total, words, np.uint32(0))
-    return e.astype(jnp.uint8), words, total.astype(jnp.int32)
+    cid = jnp.clip(jnp.cumsum(marks[:-1]) - 1, 0, nchunks - 1)
+    j = jnp.arange(cap_rows, dtype=jnp.int32)
+    slot = jnp.clip(j - offsets[cid], 0, GROUP)
+    src = cid * (GROUP + 1) + slot
+    rows = jnp.take(padded, src, axis=0)                        # (cap, C)
+    rows = jnp.where((j < total_rows)[:, None], rows, np.uint32(0))
+    return (e.astype(jnp.uint8), rows.reshape(-1),
+            (total_rows * C).astype(jnp.int32))
 
 
 def decode(exponents: jax.Array, words: jax.Array, n: int) -> jax.Array:
     """Decode back to an int32 vector of length ``n``.
 
-    ``exponents``: (ngroups,) uint8; ``words``: uint32 buffer whose first
-    ``sum(counts)`` entries are the condensed stream (extra tail entries are
-    ignored, so a zero-padded buffer is fine).
+    ``exponents``: (nchunks,) uint8; ``words``: uint32 buffer holding the
+    condensed stream (extra zero tail is fine)."""
+    nchunks = exponents.shape[0]
+    C = CHUNK_GROUPS
+    e = exponents.astype(jnp.int32)
+    counts = jnp.where(e > 0, e + 1, 0)
+    offsets = jnp.cumsum(counts) - counts
+    rows = words.reshape(-1, C)
+    cap_rows = rows.shape[0]
+
+    sign_idx = jnp.clip(offsets, 0, cap_rows - 1)
+    sign_c = jnp.where((e > 0)[:, None],
+                       jnp.take(rows, sign_idx, axis=0), np.uint32(0))
+
+    # plane with LSB-index b of chunk c sits at offsets[c] + e_c - b
+    b = jnp.arange(GROUP, dtype=jnp.int32)[None, :]
+    idx = offsets[:, None] + e[:, None] - b                     # (nc, 32)
+    valid = b < e[:, None]
+    idx_c = jnp.clip(idx, 0, cap_rows - 1)
+    planes_c = jnp.where(valid[:, :, None],
+                         jnp.take(rows, idx_c, axis=0), np.uint32(0))
+    planes = planes_c.transpose(1, 0, 2).reshape(GROUP, nchunks * C)
+    sign = sign_c.reshape(-1)
+    return _from_rows(sign, planes, n)
+
+
+# ---------------------------------------------------------------------------
+# Per-group codec: finer exponent granularity, word-granular condense
+# ---------------------------------------------------------------------------
+
+def encode_pergroup(q: jax.Array):
+    """Per-32-value-group variant (better ratio, heavier index math).
+
+    Returns ``(group_exponents uint8 (G,), words uint32 (cap,), count)``.
     """
+    n = q.shape[0]
+    sign, planes, ngroups = _to_rows(q)
+
+    bit_idx = jnp.arange(1, GROUP + 1, dtype=jnp.int32)[:, None]
+    e = jnp.max(jnp.where(planes != 0, bit_idx, 0), axis=0)     # (G,)
+
+    counts = jnp.where(e > 0, e + 1, 0)
+    offsets = jnp.cumsum(counts) - counts
+    total = offsets[-1] + counts[-1]
+
+    # flat padded layout: group g occupies slots [g*33, g*33+33):
+    # slot 0 = sign, slot k = plane e_g - k (MSB first)
+    cap = ngroups * (GROUP + 1)
+    marks = jnp.zeros(cap + 1, dtype=jnp.int32).at[offsets].add(
+        1, indices_are_sorted=True)
+    gid = jnp.clip(jnp.cumsum(marks[:-1]) - 1, 0, ngroups - 1)
+    j = jnp.arange(cap, dtype=jnp.int32)
+    slot = jnp.clip(j - offsets[gid], 0, GROUP)
+    # value at (gid, slot): slot 0 -> sign[gid]; else planes[e-slot, gid]
+    plane_idx = jnp.clip(e[gid] - slot, 0, GROUP - 1)
+    flat_idx = plane_idx * ngroups + gid
+    from_planes = jnp.take(planes.reshape(-1), flat_idx)
+    vals = jnp.where(slot == 0, jnp.take(sign, gid), from_planes)
+    vals = jnp.where(j < total, vals, np.uint32(0))
+    return e.astype(jnp.uint8), vals, total.astype(jnp.int32)
+
+
+def decode_pergroup(exponents: jax.Array, words: jax.Array,
+                    n: int) -> jax.Array:
     ngroups = exponents.shape[0]
     e = exponents.astype(jnp.int32)
     counts = jnp.where(e > 0, e + 1, 0)
     offsets = jnp.cumsum(counts) - counts
-
     cap_words = words.shape[0]
-    sign_idx = jnp.clip(offsets, 0, cap_words - 1)
-    sign_word = jnp.where(e > 0, jnp.take(words, sign_idx), np.uint32(0))
 
-    # plane b (LSB-index) of group g lives at offsets[g] + 1 + (e_g - 1 - b)
-    b = jnp.arange(GROUP, dtype=jnp.int32)[None, :]
-    idx = offsets[:, None] + e[:, None] - b
-    valid = (b < e[:, None])
-    idx_c = jnp.clip(idx, 0, cap_words - 1)
-    planes = jnp.where(valid, jnp.take(words, idx_c), np.uint32(0))
+    sign = jnp.where(e > 0, jnp.take(
+        words, jnp.clip(offsets, 0, cap_words - 1)), np.uint32(0))
 
-    m = _bit_untranspose(planes)  # (ngroups, 32)
-    neg = (sign_word[:, None] >> _pow2_lanes_log()) & np.uint32(1)
-    vals = m.astype(jnp.int32)
-    vals = jnp.where(neg == 1, -vals, vals)
-    return vals.reshape(-1)[:n]
+    b = jnp.arange(GROUP, dtype=jnp.int32)[:, None]             # (32, 1)
+    idx = offsets[None, :] + e[None, :] - b                     # (32, G)
+    valid = b < e[None, :]
+    planes = jnp.where(valid, jnp.take(
+        words, jnp.clip(idx, 0, cap_words - 1)), np.uint32(0))
+    return _from_rows(sign, planes, n)

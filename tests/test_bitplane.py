@@ -57,6 +57,30 @@ def test_jit_encode_decode():
     np.testing.assert_array_equal(np.asarray(out), vals)
 
 
+def test_pergroup_roundtrip():
+    rng = np.random.default_rng(12)
+    for n in [1, 33, 4096, 5000]:
+        vals = rng.integers(-2**20, 2**20, size=n).astype(np.int32)
+        q = jnp.asarray(vals)
+        e, words, count = jax.jit(bitplane.encode_pergroup)(q)
+        out = jax.jit(lambda e, w: bitplane.decode_pergroup(e, w, n))(
+            e, words)
+        np.testing.assert_array_equal(np.asarray(out), vals)
+
+
+def test_pergroup_beats_chunk_on_spatially_varying_data():
+    # A field where magnitudes vary across chunks: per-group exponents
+    # should cost fewer words than per-chunk exponents.
+    rng = np.random.default_rng(13)
+    n = 32 * 128 * 8
+    scale = np.repeat(2 ** rng.integers(0, 12, size=n // 32), 32)
+    vals = (rng.integers(-3, 4, size=n) * scale).astype(np.int32)
+    q = jnp.asarray(vals)
+    _, _, c_chunk = jax.jit(bitplane.encode)(q)
+    _, _, c_group = jax.jit(bitplane.encode_pergroup)(q)
+    assert int(c_group) < int(c_chunk)
+
+
 def test_int32_min_edge():
     # abs(INT32_MIN) overflows int32; the codec works on uint32 magnitudes.
     vals = np.array([np.iinfo(np.int32).min + 1, -1, 1], np.int32)

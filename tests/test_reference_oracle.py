@@ -1,0 +1,80 @@
+"""Cross-validation against the compiled *reference* MGARD library.
+
+These tests run only when the oracle binary exists (build it with
+tools/build_reference_oracle.sh — it compiles the reference CPU library
+out-of-tree and links native/mgard_oracle.cpp against it).
+"""
+
+import math
+import pathlib
+import subprocess
+
+import numpy as np
+import pytest
+
+from mgard_tpu.io import mgard_compat
+from tests.test_compress_e2e import smooth_field
+
+ORACLE = pathlib.Path("/tmp/mgard_oracle")
+
+pytestmark = pytest.mark.skipif(
+    not ORACLE.exists(), reason="reference oracle not built")
+
+
+def _oracle(*args):
+    subprocess.run([str(ORACLE), *[str(a) for a in args]], check=True,
+                   capture_output=True)
+
+
+def test_our_decoder_reads_reference_file(tmp_path):
+    v = smooth_field((33, 33), seed=70).astype(np.float64)
+    raw = tmp_path / "in.bin"
+    out = tmp_path / "out.mgard"
+    v.tofile(raw)
+    _oracle("compress", raw, out, "float64", 1e-3, "inf", 33, 33)
+    ours = mgard_compat.decompress_mgard(out.read_bytes())
+    assert np.abs(ours - v).max() <= 1e-3
+    # and via the top-level API magic dispatch
+    import mgard_tpu
+    ours2 = mgard_tpu.decompress(out.read_bytes())
+    np.testing.assert_array_equal(ours, ours2)
+
+
+def test_reference_decodes_our_file(tmp_path):
+    v = smooth_field((33, 17), seed=71).astype(np.float64)
+    buf = mgard_compat.compress_mgard(v, 1e-3, zstd=False)
+    f = tmp_path / "ours.mgard"
+    f.write_bytes(buf)
+    back = tmp_path / "back.bin"
+    _oracle("decompress", f, back)
+    out = np.fromfile(back, dtype=np.float64).reshape(v.shape)
+    assert np.abs(out - v).max() <= 1e-3
+
+
+def test_decodes_match_closely(tmp_path):
+    # Same quantized data -> reconstructions differ only by float roundoff
+    # in the recompose order.
+    v = smooth_field((17, 17, 9), seed=72).astype(np.float64)
+    raw = tmp_path / "in.bin"
+    out = tmp_path / "out.mgard"
+    back = tmp_path / "back.bin"
+    v.tofile(raw)
+    _oracle("compress", raw, out, "float64", 1e-4, "inf", 17, 17, 9)
+    _oracle("decompress", out, back)
+    ref = np.fromfile(back, dtype=np.float64).reshape(v.shape)
+    ours = mgard_compat.decompress_mgard(out.read_bytes())
+    assert np.abs(ours - ref).max() < 1e-9
+
+
+def test_snorm_file_parity(tmp_path):
+    v = smooth_field((33, 33), seed=73).astype(np.float64)
+    raw = tmp_path / "in.bin"
+    out = tmp_path / "out.mgard"
+    v.tofile(raw)
+    _oracle("compress", raw, out, "float64", 1e-3, 0.0, 33, 33)
+    ours = mgard_compat.decompress_mgard(out.read_bytes())
+    from mgard_tpu.hierarchy import Hierarchy
+    from mgard_tpu.ops import norms
+    import jax.numpy as jnp
+    h = Hierarchy(v.shape)
+    assert float(norms.norm(h, jnp.asarray(ours - v), 0.0)) <= 1e-3

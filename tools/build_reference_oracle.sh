@@ -1,0 +1,17 @@
+#!/bin/sh
+# Build the reference MGARD CPU library out-of-tree and link the oracle
+# driver used by tests/test_reference_oracle.py.
+set -e
+BUILD=${1:-/tmp/mgard_build}
+if [ ! -f "$BUILD/lib/libmgard.so" ]; then
+  cmake -S /root/reference -B "$BUILD" -G Ninja -DCMAKE_BUILD_TYPE=Release \
+    -DMGARD_ENABLE_CLI=OFF -DMGARD_ENABLE_SERIAL=OFF \
+    -DMGARD_ENABLE_OPENMP=OFF -DBUILD_TESTING=OFF \
+    -DMGARD_ENABLE_UNSTRUCTURED=OFF
+  ninja -C "$BUILD" mgard-library
+fi
+g++ -O2 -std=c++17 -o /tmp/mgard_oracle \
+  "$(dirname "$0")/../native/mgard_oracle.cpp" \
+  -I/root/reference/include -I"$BUILD/include" \
+  -L"$BUILD/lib" -lmgard -Wl,-rpath,"$BUILD/lib" -lprotobuf -lz -lzstd
+echo "oracle at /tmp/mgard_oracle"
