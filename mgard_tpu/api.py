@@ -57,6 +57,9 @@ def decompress(buf: bytes) -> np.ndarray:
         from .io import mgard_compat
         return mgard_compat.decompress_mgard(buf)
     header, sections = fmt.read_container(buf)
+    if header.roi_block:
+        from .models.roi import decompress_roi
+        return decompress_roi(header, sections)
     comp = get_compressor(header.shape, header.dtype, s=header.s,
                           coordinates=header.coordinates)
     return comp.decompress_parsed(header, sections)

@@ -48,6 +48,11 @@ class Header:
     lossless: int            # Lossless
     n_levels: int
     section_sizes: Tuple[int, ...]  # payload section byte sizes
+    # ROI-adaptive quantization parameters (0 block => no ROI).  The tile
+    # map itself travels as an extra payload section.
+    roi_block: int = 0
+    roi_l_th: int = 0
+    roi_scalar: int = 0
 
     def pack(self) -> bytes:
         out = bytearray()
@@ -63,6 +68,8 @@ class Header:
         out += struct.pack("<Bddd", self.error_mode, self.s, self.tolerance,
                            self.norm)
         out += struct.pack("<BB", self.lossless, self.n_levels)
+        out += struct.pack("<HBH", self.roi_block, self.roi_l_th,
+                           self.roi_scalar)
         out += struct.pack("<B", len(self.section_sizes))
         out += struct.pack(f"<{len(self.section_sizes)}Q",
                            *self.section_sizes)
@@ -91,13 +98,16 @@ class Header:
                 coordinates.append(np.asarray(c))
         error_mode, s, tolerance, norm = take("<Bddd")
         lossless, n_levels = take("<BB")
+        roi_block, roi_l_th, roi_scalar = take("<HBH")
         (nsec,) = take("<B")
         section_sizes = take(f"<{nsec}Q")
         return cls(dtype=np.dtype(_DTYPES[dtype_code]), shape=tuple(shape),
                    uniform=bool(uniform), coordinates=coordinates,
                    error_mode=error_mode, s=s, tolerance=tolerance,
                    norm=norm, lossless=lossless, n_levels=n_levels,
-                   section_sizes=tuple(section_sizes))
+                   section_sizes=tuple(section_sizes),
+                   roi_block=roi_block, roi_l_th=roi_l_th,
+                   roi_scalar=roi_scalar)
 
 
 def write_container(header: Header, sections: List[bytes]) -> bytes:

@@ -1,0 +1,239 @@
+"""Region-of-interest adaptive compression (MGARD-ROI).
+
+Counterpart of the reference's adaptive-ROI path (include/adaptive_roi.hpp,
+compress_roi in include/compress.tpp:84-236): build a node map u_map in
+{ROI, BUFFER_ZONE, BACKGROUND} and give BACKGROUND nodes a ``scalar``
+times looser error budget.
+
+TPU-native re-design, in two ways:
+
+  * The map builder replaces the reference's recursive depth-first
+    histogram refinement (amr_gb) with block-pooled magnitudes and a
+    dilation pass — a handful of reduce-window ops, fully vectorized.
+  * The reference keeps its container map-free by *storing* ``scalar*q``
+    so uniform dequantization works — which costs ~log2(scalar) extra
+    bits per background value under bitplane coding.  Here the tiny
+    block-level tile map travels in the container (a few bytes per 8^d
+    values) and background values are stored at their naturally coarser
+    quantum: smaller streams, same guarantee.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, ErrorMode, Lossless
+from ..hierarchy import Hierarchy
+from ..ops import bitplane, transform
+from ..ops.quantize import (_block_inv_quantum_volume, _broadcast_outer,
+                            supremum_quantum)
+
+ROI = 0
+BUFFER_ZONE = 125
+BACKGROUND = 255
+
+
+def default_scalar(ndim: int) -> int:
+    """Background error amplification (reference compress.tpp:219-226)."""
+    return 25 if ndim >= 3 else 23
+
+
+def roi_tile_map(hier: Hierarchy, v: jax.Array, threshold: float,
+                 block: int) -> jax.Array:
+    """Tile-level map (uint8): pooled |v| >= threshold*max -> ROI, one-tile
+    dilation -> BUFFER_ZONE, else BACKGROUND."""
+    absv = jnp.abs(v)
+    dims = [d for d in range(hier.ndim) if hier.shape[d] > 1]
+    window = [block if d in dims else 1 for d in range(hier.ndim)]
+    pooled = jax.lax.reduce_window(
+        absv, jnp.asarray(-jnp.inf, dtype=absv.dtype), jax.lax.max,
+        window_dimensions=window, window_strides=window,
+        padding=[(0, (window[d] - hier.shape[d] % window[d]) % window[d])
+                 for d in range(hier.ndim)])
+    cut = threshold * jnp.max(absv)
+    roi_tiles = pooled >= cut
+    dil = jax.lax.reduce_window(
+        roi_tiles.astype(jnp.float32), jnp.float32(0.0), jax.lax.max,
+        window_dimensions=[3 if d in dims else 1 for d in range(hier.ndim)],
+        window_strides=[1] * hier.ndim,
+        padding=[(1, 1) if d in dims else (0, 0) for d in range(hier.ndim)])
+    tiles = jnp.full(roi_tiles.shape, BACKGROUND, dtype=jnp.uint8)
+    tiles = jnp.where(dil > 0, np.uint8(BUFFER_ZONE), tiles)
+    tiles = jnp.where(roi_tiles, np.uint8(ROI), tiles)
+    return tiles
+
+
+def node_map_from_tiles(hier: Hierarchy, tiles: jax.Array, block: int,
+                        l_th: int) -> jax.Array:
+    """Fine-grid u_map from the tile map + coarse-level protection
+    (deterministic: the decoder reproduces it from the stored tiles)."""
+    dims = [d for d in range(hier.ndim) if hier.shape[d] > 1]
+    window = [block if d in dims else 1 for d in range(hier.ndim)]
+    out = tiles
+    for d in range(hier.ndim):
+        if window[d] > 1:
+            out = jnp.repeat(out, window[d], axis=d)
+    umap = out[tuple(slice(0, s) for s in hier.shape)]
+    dob = jnp.asarray(hier.date_of_birth_grid())
+    umap = jnp.where((dob < l_th) & (umap == BACKGROUND),
+                     np.uint8(BUFFER_ZONE), umap)
+    return umap
+
+
+def build_roi_map(hier: Hierarchy, v: jax.Array, threshold: float,
+                  block: int = 8, l_th: int = 2) -> jax.Array:
+    """Fine-grid u_map in {ROI, BUFFER_ZONE, BACKGROUND} (uint8)."""
+    tiles = roi_tile_map(hier, v, threshold, block)
+    return node_map_from_tiles(hier, tiles, block, l_th)
+
+
+def _map_blocks(hier: Hierarchy, umap: jax.Array):
+    """Extract the u_map restricted to each (level, region) block."""
+    out = []
+    for (l, r, bs, pos) in transform.block_specs(hier):
+        blk = umap
+        for d in range(hier.ndim):
+            fine = hier.level_indices(l, d)[np.asarray(pos[d])]
+            blk = jnp.take(blk, jnp.asarray(fine), axis=d)
+        out.append(blk)
+    return out
+
+
+def _scaled_blocks(hier: Hierarchy, blocks, s: float, tol):
+    """Coefficient / quantum, per block (shared by both directions)."""
+    specs = transform.block_specs(hier)
+    out = []
+    for (l, r, bs, pos), blk in zip(specs, blocks):
+        dt = blk.dtype
+        if math.isinf(s):
+            out.append(blk * (1.0 / supremum_quantum(hier, tol).astype(dt)))
+        else:
+            scale = (2.0 ** (s * l)) * math.sqrt(hier.ndof()) / (2.0 * tol)
+            scaled = blk * scale.astype(dt)
+            for w in _broadcast_outer(
+                    _block_inv_quantum_volume(hier, l, pos), dt):
+                scaled = scaled * w
+            out.append(scaled)
+    return out
+
+
+def quantize_blocks_roi(hier: Hierarchy, blocks, map_blocks, s: float,
+                        tol, scalar: int, int_dtype=jnp.int32):
+    out = []
+    for scaled, mb in zip(_scaled_blocks(hier, blocks, s, tol), map_blocks):
+        dt = scaled.dtype
+        sc = jnp.where(mb == BACKGROUND, jnp.asarray(scalar, dt),
+                       jnp.asarray(1.0, dt))
+        x = scaled / sc
+        out.append(jnp.trunc(jnp.copysign(0.5 + jnp.abs(x), x))
+                   .astype(int_dtype))
+    return out
+
+
+def dequantize_blocks_roi(hier: Hierarchy, qblocks, map_blocks, s: float,
+                          tol, scalar: int, dtype):
+    specs = transform.block_specs(hier)
+    tol = jnp.asarray(tol)
+    out = []
+    for (l, r, bs, pos), q, mb in zip(specs, qblocks, map_blocks):
+        c = q.astype(dtype)
+        sc = jnp.where(mb == BACKGROUND, jnp.asarray(scalar, dtype),
+                       jnp.asarray(1.0, dtype))
+        c = c * sc
+        if math.isinf(s):
+            c = c * supremum_quantum(hier, tol).astype(dtype)
+        else:
+            scale = (2.0 * tol) / ((2.0 ** (s * l)) * math.sqrt(hier.ndof()))
+            c = c * scale.astype(dtype)
+            for w in _broadcast_outer(
+                    _block_inv_quantum_volume(hier, l, pos), dtype):
+                c = c / w
+        out.append(c)
+    return out
+
+
+def compress_roi(data, tolerance: float, s: float = math.inf,
+                 threshold: float = 0.5, block: int = 8, l_th: int = 2,
+                 scalar: Optional[int] = None,
+                 coordinates=None) -> bytes:
+    """ROI-adaptive compress.  Inside the detected regions the bound is
+    ``tolerance``; outside it is ``scalar * tolerance``.  The buffer
+    decodes with the standard :func:`mgard_tpu.decompress`."""
+    from ..io import format as fmt
+
+    arr = np.asarray(data)
+    hier = Hierarchy(arr.shape, coordinates=coordinates)
+    scalar = scalar or default_scalar(hier.effective_ndim)
+
+    @jax.jit
+    def encode(v, tol):
+        tiles = roi_tile_map(hier, v, threshold, block)
+        umap = node_map_from_tiles(hier, tiles, block, l_th)
+        pyr = transform.decompose(hier, v)
+        blocks = transform.pyramid_to_blocks(hier, pyr)
+        mblocks = _map_blocks(hier, umap)
+        qblocks = quantize_blocks_roi(hier, blocks, mblocks, s, tol, scalar)
+        flat = jnp.concatenate([q.reshape(-1) for q in qblocks])
+        e, w, c = bitplane.encode_pergroup(flat)
+        return tiles, e, w, c
+
+    v = jnp.asarray(arr)
+    tiles, exponents, words, count = encode(v, float(tolerance))
+    header = fmt.Header(
+        dtype=arr.dtype, shape=hier.shape, uniform=hier.uniform,
+        coordinates=None if hier.uniform else hier.coordinates,
+        error_mode=int(ErrorMode.ABS), s=float(s),
+        tolerance=float(tolerance), norm=1.0,
+        lossless=int(Lossless.BITPLANE_GROUP), n_levels=hier.L,
+        section_sizes=(), roi_block=block, roi_l_th=l_th,
+        roi_scalar=scalar)
+    return fmt.write_container(header, [
+        np.asarray(exponents).tobytes(),
+        np.asarray(words)[:int(count)].astype("<u4").tobytes(),
+        np.asarray(tiles).tobytes(),
+    ])
+
+
+def decompress_roi(header, sections) -> np.ndarray:
+    """Decode an ROI container (dispatched from mgard_tpu.decompress)."""
+    hier = Hierarchy(header.shape, coordinates=header.coordinates)
+    ndof = hier.ndof()
+    exponents = np.frombuffer(sections[0], dtype=np.uint8)
+    words = np.frombuffer(sections[1], dtype="<u4")
+    cap = bitplane.max_words(ndof)
+    words_full = np.zeros(cap, dtype=np.uint32)
+    words_full[:len(words)] = words
+
+    dims = [d for d in range(hier.ndim) if hier.shape[d] > 1]
+    tile_shape = tuple(
+        -(-hier.shape[d] // header.roi_block) if d in dims else 1
+        for d in range(hier.ndim))
+    tiles = np.frombuffer(sections[2], dtype=np.uint8).reshape(tile_shape)
+
+    @jax.jit
+    def decode(e, w, tiles, tol):
+        umap = node_map_from_tiles(hier, tiles, header.roi_block,
+                                   header.roi_l_th)
+        flat = bitplane.decode_pergroup(e, w, ndof)
+        specs = transform.block_specs(hier)
+        qb, off = [], 0
+        for (_, _, bs, _) in specs:
+            size = int(np.prod(bs))
+            qb.append(jax.lax.dynamic_slice_in_dim(
+                flat, off, size).reshape(bs))
+            off += size
+        mblocks = _map_blocks(hier, umap)
+        blocks = dequantize_blocks_roi(
+            hier, qb, mblocks, header.s, tol, header.roi_scalar,
+            jnp.dtype(header.dtype))
+        pyr = transform.blocks_to_pyramid(hier, blocks)
+        return transform.recompose(hier, pyr)
+
+    out = decode(jnp.asarray(exponents), jnp.asarray(words_full),
+                 jnp.asarray(tiles), header.tolerance)
+    return np.asarray(out)

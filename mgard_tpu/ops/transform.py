@@ -291,20 +291,69 @@ def pyramid_to_blocks(hier: Hierarchy, pyramid: Sequence[jax.Array]):
     ]
 
 
+def _interleave_dim(old: jax.Array, new: jax.Array, lev: DimLevel,
+                    axis: int) -> jax.Array:
+    """Merge old-position values (nc) and new-position values (nn) along
+    ``axis`` into the dense level grid (n).  Stride-2 levels interleave
+    with a stack+reshape (no scatter); the non-dyadic top level falls back
+    to two static scatters."""
+    dt = old.dtype
+    nc = old.shape[axis]
+    if lev.coarse_is_stride2:
+        pad = [(0, 0, 0)] * old.ndim
+        pad[axis] = (0, 1, 0)
+        zero = jnp.zeros((), dtype=dt)
+        new_p = jax.lax.pad(new, zero, pad)            # (..., nc, ...)
+        stacked = jnp.stack([old, new_p], axis=axis + 1)
+        shp = list(old.shape)
+        shp[axis] = 2 * nc
+        out = stacked.reshape(shp)
+        return jax.lax.slice_in_dim(out, 0, lev.n, axis=axis)
+    shp = list(old.shape)
+    shp[axis] = lev.n
+    out = jnp.zeros(shp, dtype=dt)
+    idx_old = [slice(None)] * old.ndim
+    idx_old[axis] = np.asarray(lev.coarse_pos)
+    out = out.at[tuple(idx_old)].set(old)
+    idx_new = [slice(None)] * old.ndim
+    idx_new[axis] = np.asarray(lev.new_pos)
+    return out.at[tuple(idx_new)].set(new)
+
+
 def blocks_to_pyramid(hier: Hierarchy, blocks) -> List[jax.Array]:
-    """Reassemble dense level arrays from (level, region) blocks."""
+    """Reassemble dense level arrays from (level, region) blocks.
+
+    Regions are merged one dimension at a time by interleaving old/new
+    hyperplanes — the exact inverse of the strided extraction — instead of
+    scattering, which serializes badly on TPU."""
     specs = block_specs(hier)
-    out: List[jax.Array] = [None] * (hier.L + 1)
-    per_level = {l: [] for l in range(hier.L + 1)}
-    for (l, r, bshape, pos), blk in zip(specs, blocks):
-        per_level[l].append((bshape, pos, blk))
     dtype = blocks[0].dtype
-    for l in range(hier.L + 1):
-        A = jnp.zeros(hier.shapes[l], dtype=dtype)
-        for (bshape, pos, blk) in per_level[l]:
-            idx = np.ix_(*[np.asarray(p) for p in pos])
-            A = A.at[idx].set(blk.reshape(bshape))
-        out[l] = A
+    per_level: dict = {l: {} for l in range(hier.L + 1)}
+    for (l, r, bshape, pos), blk in zip(specs, blocks):
+        per_level[l][r] = blk.reshape(bshape)
+
+    out: List[jax.Array] = [None] * (hier.L + 1)
+    out[0] = per_level[0][0]
+    for l in range(1, hier.L + 1):
+        cur = dict(per_level[l])
+        # the all-old region of a detail level is identically zero
+        coarse_shape = tuple(
+            (len(hier.dims[d][l].coarse_pos)
+             if hier.dims[d][l].coarse_pos is not None else 1)
+            for d in range(hier.ndim))
+        cur[0] = jnp.zeros(coarse_shape, dtype=dtype)
+        for d in range(hier.ndim):
+            lev = hier.dims[d][l]
+            if lev.new_pos is None or len(lev.new_pos) == 0:
+                continue
+            nxt = {}
+            for mask, blk in cur.items():
+                if mask & (1 << d):
+                    continue
+                partner = cur[mask | (1 << d)]
+                nxt[mask] = _interleave_dim(blk, partner, lev, d)
+            cur = nxt
+        out[l] = cur[0]
     return out
 
 
@@ -323,23 +372,10 @@ def flatten_pyramid(hier: Hierarchy, pyramid: Sequence[jax.Array]) -> jax.Array:
 
 def unflatten_pyramid(hier: Hierarchy, flat: jax.Array) -> List[jax.Array]:
     """Inverse of :func:`flatten_pyramid`."""
-    specs = block_specs(hier)
-    pyramid: List[jax.Array] = []
-    pyramid.append(None)
+    blocks = []
     offset = 0
-    blocks_by_level = {l: [] for l in range(hier.L + 1)}
-    for (l, r, bshape, pos) in specs:
+    for (l, r, bshape, pos) in block_specs(hier):
         size = int(np.prod(bshape))
-        blk = jax.lax.dynamic_slice_in_dim(flat, offset, size)
+        blocks.append(jax.lax.dynamic_slice_in_dim(flat, offset, size))
         offset += size
-        blocks_by_level[l].append((bshape, pos, blk))
-    out: List[jax.Array] = [None] * (hier.L + 1)
-    for l in range(hier.L + 1):
-        shape = hier.shapes[l]
-        A = jnp.zeros(shape, dtype=flat.dtype)
-        for (bshape, pos, blk) in blocks_by_level[l]:
-            blk = blk.reshape(bshape)
-            idx = np.ix_(*[np.asarray(p) for p in pos])
-            A = A.at[idx].set(blk)
-        out[l] = A
-    return out
+    return blocks_to_pyramid(hier, blocks)

@@ -66,6 +66,35 @@ def test_decodes_match_closely(tmp_path):
     assert np.abs(ours - ref).max() < 1e-9
 
 
+ZSTD_ORACLE = pathlib.Path("/tmp/mgard_oracle_zstd")
+
+
+@pytest.mark.skipif(not ZSTD_ORACLE.exists(),
+                    reason="zstd-enabled oracle not built")
+def test_huffman_zstd_path_parity(tmp_path):
+    # Exercises the Huffman bitstream itself (tree tie-breaking included):
+    # our codec decodes the reference's CPU_HUFFMAN_ZSTD payload and the
+    # reference decodes ours.
+    v = smooth_field((33, 33), seed=74).astype(np.float64)
+    raw = tmp_path / "in.bin"
+    out = tmp_path / "out.mgard"
+    v.tofile(raw)
+    subprocess.run([str(ZSTD_ORACLE), "compress", str(raw), str(out),
+                    "float64", "1e-3", "inf", "33", "33"], check=True)
+    header, _ = mgard_compat.read_container(out.read_bytes())
+    assert header["encoding"]["compressor"] == mgard_compat.CPU_HUFFMAN_ZSTD
+    ours = mgard_compat.decompress_mgard(out.read_bytes())
+    assert np.abs(ours - v).max() <= 1e-3
+
+    mine = tmp_path / "mine.mgard"
+    mine.write_bytes(mgard_compat.compress_mgard(v, 1e-3, zstd=True))
+    back = tmp_path / "back.bin"
+    subprocess.run([str(ZSTD_ORACLE), "decompress", str(mine), str(back)],
+                   check=True)
+    got = np.fromfile(back, dtype=np.float64).reshape(v.shape)
+    assert np.abs(got - v).max() <= 1e-3
+
+
 def test_snorm_file_parity(tmp_path):
     v = smooth_field((33, 33), seed=73).astype(np.float64)
     raw = tmp_path / "in.bin"
