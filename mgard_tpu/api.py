@@ -38,10 +38,91 @@ def compress(data, tolerance: float, s: float = math.inf,
     arr = np.asarray(data)
     if arr.dtype not in (np.float32, np.float64):
         raise TypeError("only float32/float64 data is supported")
-    comp = get_compressor(arr.shape, arr.dtype, s=s,
-                          coordinates=coordinates, config=config)
     emode = ErrorMode.REL if mode == "rel" else ErrorMode.ABS
+    cfg = config or Config()
+    if arr.nbytes > cfg.max_block_bytes:
+        return _compress_multiblock(arr, tolerance, s, emode, coordinates,
+                                    cfg)
+    comp = get_compressor(arr.shape, arr.dtype, s=s,
+                          coordinates=coordinates, config=cfg)
     return comp.compress(arr, tolerance, mode=emode)
+
+
+def _block_edges(n: int, nblocks: int) -> np.ndarray:
+    return np.linspace(0, n, nblocks + 1).astype(int)
+
+
+def _compress_multiblock(arr, tolerance, s, emode, coordinates, cfg):
+    """Domain-decomposed compression (reference DomainDecomposer +
+    general_compress, include/mgard-x/CompressionHighLevel/
+    CompressionHighLevel.hpp:47-290): split the largest dim into slabs,
+    compress each independently, split the error budget so the global
+    bound holds (ErrorToleranceCalculator.hpp:135-154)."""
+    import math as _math
+
+    from .models.compressor import Compressor
+    from .parallel.domain import local_abs_tol
+
+    dd_dim = int(np.argmax(arr.shape))
+    nblocks = int(-(-arr.nbytes // cfg.max_block_bytes))
+    edges = _block_edges(arr.shape[dd_dim], nblocks)
+
+    abs_tol = float(tolerance)
+    norm = 1.0
+    if emode == ErrorMode.REL:
+        norm = (float(np.abs(arr).max()) if _math.isinf(s)
+                else float(np.sqrt(np.sum(arr.astype(np.float64) ** 2))))
+        abs_tol *= norm
+    block_tol = local_abs_tol(abs_tol, s, nblocks)
+
+    sections = []
+    lossless = None
+    for i in range(nblocks):
+        sl = [slice(None)] * arr.ndim
+        sl[dd_dim] = slice(edges[i], edges[i + 1])
+        block = arr[tuple(sl)]
+        bcoords = None
+        if coordinates is not None:
+            bcoords = [np.asarray(c) for c in coordinates]
+            bcoords[dd_dim] = bcoords[dd_dim][edges[i]:edges[i + 1]]
+        comp = get_compressor(block.shape, arr.dtype, s=s,
+                              coordinates=bcoords, config=cfg)
+        buf = comp.compress(np.ascontiguousarray(block), block_tol)
+        bh, bsec = fmt.read_container(buf)
+        lossless = bh.lossless
+        sections.extend(bsec[:2])
+
+    header = fmt.Header(
+        dtype=arr.dtype, shape=arr.shape,
+        uniform=coordinates is None,
+        coordinates=None if coordinates is None else [
+            np.asarray(c) for c in coordinates],
+        error_mode=int(emode), s=float(s), tolerance=block_tol,
+        norm=norm, lossless=lossless, n_levels=0,
+        section_sizes=(), dd_dim=dd_dim, dd_nblocks=nblocks)
+    return fmt.write_container(header, sections)
+
+
+def _decompress_multiblock(header: fmt.Header, sections) -> np.ndarray:
+    edges = _block_edges(header.shape[header.dd_dim], header.dd_nblocks)
+    outs = []
+    for i in range(header.dd_nblocks):
+        bshape = list(header.shape)
+        bshape[header.dd_dim] = int(edges[i + 1] - edges[i])
+        bcoords = None
+        if header.coordinates is not None:
+            bcoords = [np.asarray(c) for c in header.coordinates]
+            bcoords[header.dd_dim] = \
+                bcoords[header.dd_dim][edges[i]:edges[i + 1]]
+        comp = get_compressor(tuple(bshape), header.dtype, s=header.s,
+                              coordinates=bcoords)
+        import dataclasses
+        bh = dataclasses.replace(header, shape=tuple(bshape),
+                                 coordinates=bcoords, dd_nblocks=0,
+                                 section_sizes=())
+        outs.append(comp.decompress_parsed(
+            bh, [sections[2 * i], sections[2 * i + 1]]))
+    return np.concatenate(outs, axis=header.dd_dim)
 
 
 def decompress(buf: bytes) -> np.ndarray:
@@ -57,6 +138,8 @@ def decompress(buf: bytes) -> np.ndarray:
         from .io import mgard_compat
         return mgard_compat.decompress_mgard(buf)
     header, sections = fmt.read_container(buf)
+    if header.dd_nblocks:
+        return _decompress_multiblock(header, sections)
     if header.roi_block:
         from .models.roi import decompress_roi
         return decompress_roi(header, sections)

@@ -53,6 +53,12 @@ class Header:
     roi_block: int = 0
     roi_l_th: int = 0
     roi_scalar: int = 0
+    # Domain decomposition (reference DomainDecomposer/Metadata):
+    # 0 blocks => single domain.  Blocks split `dd_dim` into `dd_nblocks`
+    # near-equal slabs (np.linspace edges — deterministic), each with its
+    # own [exponents, words] section pair.
+    dd_dim: int = 0
+    dd_nblocks: int = 0
 
     def pack(self) -> bytes:
         out = bytearray()
@@ -70,6 +76,7 @@ class Header:
         out += struct.pack("<BB", self.lossless, self.n_levels)
         out += struct.pack("<HBH", self.roi_block, self.roi_l_th,
                            self.roi_scalar)
+        out += struct.pack("<BI", self.dd_dim, self.dd_nblocks)
         out += struct.pack("<B", len(self.section_sizes))
         out += struct.pack(f"<{len(self.section_sizes)}Q",
                            *self.section_sizes)
@@ -99,6 +106,7 @@ class Header:
         error_mode, s, tolerance, norm = take("<Bddd")
         lossless, n_levels = take("<BB")
         roi_block, roi_l_th, roi_scalar = take("<HBH")
+        dd_dim, dd_nblocks = take("<BI")
         (nsec,) = take("<B")
         section_sizes = take(f"<{nsec}Q")
         return cls(dtype=np.dtype(_DTYPES[dtype_code]), shape=tuple(shape),
@@ -107,7 +115,8 @@ class Header:
                    norm=norm, lossless=lossless, n_levels=n_levels,
                    section_sizes=tuple(section_sizes),
                    roi_block=roi_block, roi_l_th=roi_l_th,
-                   roi_scalar=roi_scalar)
+                   roi_scalar=roi_scalar, dd_dim=dd_dim,
+                   dd_nblocks=dd_nblocks)
 
 
 def write_container(header: Header, sections: List[bytes]) -> bytes:
