@@ -41,5 +41,10 @@ class Config:
     block_edge: int = 256
     log_level: int = 0
 
+    def __post_init__(self):
+        if self.log_level:
+            from .utils import log as _log
+            _log.level = self.log_level
+
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

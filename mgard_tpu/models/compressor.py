@@ -115,8 +115,10 @@ class Compressor:
             norm = float(self._norm(v))
             abs_tol = float(tolerance) * norm
 
-        exponents, words, count = self._encode(v, abs_tol)
-        count = int(count)
+        from ..utils.log import Timer
+        with Timer("compress (device)", v.nbytes):
+            exponents, words, count = self._encode(v, abs_tol)
+            count = int(count)
         exp_np = np.asarray(exponents)
         words_np = np.asarray(words)[:count]
 

@@ -1,0 +1,268 @@
+"""Fixed-rate transform codec (ZFP-style) — the alternate compressor type.
+
+Counterpart of the reference's external ZFP compressor
+(include/mgard-x/ExternalCompressionLowLevel/ZFP/,
+``compressor_type::ZFP``): 4^d blocks, block-local exponent alignment, an
+integer decorrelating lifting transform per dimension, negabinary mapping,
+and bitplane truncation at a fixed rate.
+
+TPU-native design: because the rate is fixed, every block emits exactly
+``rate`` bitplanes — the output is *statically shaped* (a dense
+(rate, ngroups) plane matrix plus one exponent byte per block), so there
+is no ragged condense at all; encode and decode are pure vectorized
+transforms + the shared 32x32 butterfly bit-transpose.
+
+The stream is not bit-compatible with upstream zfp (coefficient ordering
+and header differ); it is capability-compatible: same block transform
+family, same rate-distortion behavior.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import math
+import struct
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.bitplane import transpose32
+
+BLOCK = 4
+NBMASK = np.uint32(0xAAAAAAAA)
+# Fixed-point headroom: the per-dim lifting gain is < 2, so 3 transforms
+# need ~3 guard bits on top of the sign bit and rounding slack.
+_GUARD = 5
+
+
+def _degree_perm(ndim: int) -> np.ndarray:
+    """Coefficient ordering by total degree (low-frequency first)."""
+    idx = list(itertools.product(range(BLOCK), repeat=ndim))
+    order = sorted(range(len(idx)), key=lambda k: (sum(idx[k]), idx[k]))
+    return np.asarray(order, dtype=np.int64)
+
+
+def _fwd_lift(x, axis):
+    """zfp forward decorrelating lift along a length-4 axis (integer,
+    exactly invertible)."""
+    a, b, c, d = [jax.lax.index_in_dim(x, i, axis, keepdims=False)
+                  for i in range(4)]
+    # (names follow the classic x,y,z,w formulation)
+    a = a + d
+    a = a >> 1
+    d = d - a
+    c = c + b
+    c = c >> 1
+    b = b - c
+    a = a + c
+    a = a >> 1
+    c = c - a
+    d = d + b
+    d = d >> 1
+    b = b - d
+    d = d + (b >> 1)
+    b = b - (d >> 1)
+    return jnp.stack([a, b, c, d], axis=axis)
+
+
+def _inv_lift(x, axis):
+    a, b, c, d = [jax.lax.index_in_dim(x, i, axis, keepdims=False)
+                  for i in range(4)]
+    b = b + (d >> 1)
+    d = d - (b >> 1)
+    b = b + d
+    d = d << 1
+    d = d - b
+    c = c + a
+    a = a << 1
+    a = a - c
+    b = b + c
+    c = c << 1
+    c = c - b
+    d = d + a
+    a = a << 1
+    a = a - d
+    return jnp.stack([a, b, c, d], axis=axis)
+
+
+@dataclasses.dataclass(frozen=True)
+class ZfpMeta:
+    shape: Tuple[int, ...]
+    dtype: str
+    rate: int  # bits per value == bitplanes kept
+
+    def pack(self) -> bytes:
+        out = struct.pack("<4sBB", b"ZFPT", len(self.shape), self.rate)
+        out += struct.pack(f"<{len(self.shape)}Q", *self.shape)
+        out += struct.pack("<B", 0 if self.dtype == "float32" else 1)
+        return out
+
+    @classmethod
+    def unpack(cls, buf: bytes):
+        magic, ndim, rate = struct.unpack_from("<4sBB", buf, 0)
+        if magic != b"ZFPT":
+            raise ValueError("not a ZFPT stream")
+        shape = struct.unpack_from(f"<{ndim}Q", buf, 6)
+        (dt,) = struct.unpack_from("<B", buf, 6 + 8 * ndim)
+        return cls(tuple(int(s) for s in shape),
+                   "float32" if dt == 0 else "float64", rate), 7 + 8 * ndim
+
+
+def _blocked(hier_shape):
+    return tuple(-(-s // BLOCK) for s in hier_shape)
+
+
+def _encode_impl(v: jax.Array, rate: int):
+    shape = v.shape
+    ndim = v.ndim
+    nb = _blocked(shape)
+    pad = [(0, nb[d] * BLOCK - shape[d]) for d in range(ndim)]
+    vp = jnp.pad(v, pad)
+    # gather into (nblocks, 4^d)
+    resh = []
+    for d in range(ndim):
+        resh += [nb[d], BLOCK]
+    blocks = vp.reshape(resh)
+    order = list(range(0, 2 * ndim, 2)) + list(range(1, 2 * ndim, 2))
+    blocks = blocks.transpose(order)  # (nb..., 4,4,4)
+    nblocks = int(np.prod(nb))
+
+    # per-block exponent
+    flat = blocks.reshape((nblocks,) + (BLOCK,) * ndim)
+    amax = jnp.max(jnp.abs(flat).reshape(nblocks, -1), axis=1)
+    e = jnp.ceil(jnp.log2(jnp.maximum(
+        amax, jnp.finfo(v.dtype).tiny))).astype(jnp.int32)
+    e = jnp.where(amax == 0, jnp.int32(-128), e)
+    scale = jnp.exp2((30 - _GUARD - e).astype(v.dtype))
+    shp = (nblocks,) + (1,) * ndim
+    q = jnp.round(flat * scale.reshape(shp)).astype(jnp.int32)
+
+    for d in range(ndim):
+        q = _fwd_lift(q, 1 + d)
+
+    # degree ordering, negabinary, bit-transpose
+    qf = q.reshape(nblocks, BLOCK ** ndim)
+    qf = qf[:, _degree_perm(ndim)]
+    u = jnp.bitwise_xor((qf.astype(jnp.uint32) + NBMASK), NBMASK)
+    vals = u.reshape(-1)  # block-major, degree-ordered
+    ngroups = -(-vals.shape[0] // 32)
+    tail = ngroups * 32 - vals.shape[0]
+    if tail:
+        vals = jnp.concatenate(
+            [vals, jnp.zeros(tail, dtype=jnp.uint32)])
+    gpb = (BLOCK ** ndim) // 32 if ndim >= 3 else 1  # groups per block
+    planes = transpose32(vals.reshape(ngroups, 32).T)  # (32, G) LSB-first
+
+    # Block floating point: planes are taken from each block's own most
+    # significant occupied bitplane downward, so no budget is wasted on
+    # the headroom zeros above the block's magnitude.
+    if gpb > 1:
+        pb = planes.reshape(32, nblocks, gpb)
+    else:
+        # 2-D/1-D blocks are 16/4 values; a 32-group spans several blocks —
+        # use per-group windows instead (unit == group).
+        pb = planes.reshape(32, ngroups, 1)
+    nunits = pb.shape[1]
+    occ = (pb != 0).any(axis=2)                        # (32, units)
+    bit_idx = jnp.arange(1, 33, dtype=jnp.int32)[:, None]
+    m = jnp.max(jnp.where(occ, bit_idx, 0), axis=0)    # (units,) MSB count
+    k = jnp.arange(rate, dtype=jnp.int32)[:, None, None]
+    src = m[None, :, None] - 1 - k                     # plane index, MSB 1st
+    valid = src >= 0
+    src_c = jnp.clip(src, 0, 31)
+    kept = jnp.where(valid, jnp.take_along_axis(
+        pb, jnp.broadcast_to(src_c, (rate, nunits, pb.shape[2])), axis=0),
+        np.uint32(0))
+    return e.astype(jnp.int8), m.astype(jnp.uint8), \
+        kept.reshape(rate, nunits * pb.shape[2])
+
+
+def _decode_impl(e: jax.Array, m: jax.Array, kept: jax.Array, shape, ndim,
+                 rate, dtype):
+    nb = _blocked(shape)
+    nblocks = int(np.prod(nb))
+    gpb = (BLOCK ** ndim) // 32 if ndim >= 3 else 1
+    nunits = m.shape[0]
+    width = kept.shape[1] // nunits
+    kb = kept.reshape(rate, nunits, width)
+    mm = m.astype(jnp.int32)
+    # scatter planes back to their absolute positions: plane row b holds
+    # window slot (m-1-b); invert via gather over all 32 rows
+    b = jnp.arange(32, dtype=jnp.int32)[:, None, None]
+    slot = mm[None, :, None] - 1 - b
+    valid = (slot >= 0) & (slot < rate)
+    slot_c = jnp.clip(slot, 0, rate - 1)
+    full = jnp.where(valid, jnp.take_along_axis(
+        kb, jnp.broadcast_to(slot_c, (32, nunits, width)), axis=0),
+        np.uint32(0))
+    total = nblocks * (BLOCK ** ndim)
+    ngroups = -(-total // 32)
+    full = full.reshape(32, ngroups)
+    vals = transpose32(full).T.reshape(-1)[:total]  # uint32 negabinary
+    q = (jnp.bitwise_xor(vals, NBMASK).astype(jnp.int32)
+         - NBMASK.astype(jnp.int32))
+    inv = np.empty(BLOCK ** ndim, dtype=np.int64)
+    inv[_degree_perm(ndim)] = np.arange(BLOCK ** ndim)
+    qf = q.reshape(nblocks, BLOCK ** ndim)[:, inv]
+    qb = qf.reshape((nblocks,) + (BLOCK,) * ndim)
+    for d in range(ndim - 1, -1, -1):
+        qb = _inv_lift(qb, 1 + d)
+    scale = jnp.exp2((30 - _GUARD - e.astype(jnp.int32)).astype(dtype))
+    shp = (nblocks,) + (1,) * ndim
+    out = qb.astype(dtype) / scale.reshape(shp)
+    # un-block
+    out = out.reshape(tuple(nb) + (BLOCK,) * ndim)
+    perm = []
+    for d in range(ndim):
+        perm += [d, ndim + d]
+    out = out.transpose(perm).reshape(tuple(n * BLOCK for n in nb))
+    return out[tuple(slice(0, s) for s in shape)]
+
+
+def _num_groups(shape) -> int:
+    nblocks = int(np.prod(_blocked(shape)))
+    return -(-nblocks * (BLOCK ** len(shape)) // 32)
+
+
+def _num_units(shape) -> int:
+    ndim = len(shape)
+    nblocks = int(np.prod(_blocked(shape)))
+    return nblocks if ndim >= 3 else _num_groups(shape)
+
+
+def compress_zfp(data, rate: int = 8) -> bytes:
+    """Fixed-rate compress: exactly ``rate`` bits per value plus two side
+    bytes (scale exponent, MSB position) per coding unit."""
+    arr = np.asarray(data)
+    if arr.dtype not in (np.float32, np.float64):
+        raise TypeError("float32/float64 only")
+    if not 1 <= rate <= 32:
+        raise ValueError("rate must be in [1, 32]")
+    enc = jax.jit(lambda v: _encode_impl(v, rate))
+    e, m, kept = enc(jnp.asarray(arr))
+    meta = ZfpMeta(arr.shape, str(arr.dtype), rate)
+    return meta.pack() + np.asarray(e).tobytes() + \
+        np.asarray(m).tobytes() + np.asarray(kept).astype("<u4").tobytes()
+
+
+def decompress_zfp(buf: bytes) -> np.ndarray:
+    meta, off = ZfpMeta.unpack(bytes(buf))
+    shape = meta.shape
+    ndim = len(shape)
+    nblocks = int(np.prod(_blocked(shape)))
+    ngroups = _num_groups(shape)
+    nunits = _num_units(shape)
+    e = np.frombuffer(buf, dtype=np.int8, count=nblocks, offset=off)
+    m = np.frombuffer(buf, dtype=np.uint8, count=nunits,
+                      offset=off + nblocks)
+    kept = np.frombuffer(
+        buf, dtype="<u4", count=meta.rate * ngroups,
+        offset=off + nblocks + nunits).reshape(meta.rate, ngroups)
+    dtype = jnp.float32 if meta.dtype == "float32" else jnp.float64
+    dec = jax.jit(lambda e, m, k: _decode_impl(
+        e, m, k, shape, ndim, meta.rate, dtype))
+    return np.asarray(dec(jnp.asarray(e), jnp.asarray(m),
+                          jnp.asarray(kept)))
