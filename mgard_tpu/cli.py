@@ -42,6 +42,36 @@ def _build_parser():
 
     s = sub.add_parser("inspect", help="print container header")
     s.add_argument("--input", "-i", required=True)
+
+    # MDR (counterpart of the reference `mdr-x` driver,
+    # src/mgard-x/Executables/mdr-x.cpp:443-502)
+    r = sub.add_parser("refactor", help="MDR: refactor into bitplanes")
+    r.add_argument("--input", "-i", required=True)
+    r.add_argument("--output", "-o", required=True,
+                   help="output directory for metadata + streams")
+    r.add_argument("--shape", nargs="+", type=int, required=True)
+    r.add_argument("--dtype", choices=["float32", "float64"],
+                   default="float32")
+
+    rc = sub.add_parser("reconstruct",
+                        help="MDR: progressive reconstruct to a tolerance")
+    rc.add_argument("--input", "-i", required=True,
+                    help="directory produced by `refactor`")
+    rc.add_argument("--output", "-o", required=True)
+    rc.add_argument("--tolerance", "-e", type=float, required=True)
+    rc.add_argument("--smoothness", "-s", type=float, default=math.inf)
+
+    z = sub.add_parser("zfp", help="fixed-rate (ZFP-style) compress")
+    z.add_argument("--input", "-i", required=True)
+    z.add_argument("--output", "-o", required=True)
+    z.add_argument("--shape", nargs="+", type=int, required=True)
+    z.add_argument("--dtype", choices=["float32", "float64"],
+                   default="float32")
+    z.add_argument("--rate", type=int, default=8)
+
+    zd = sub.add_parser("zfp-decompress", help="decode a ZFPT stream")
+    zd.add_argument("--input", "-i", required=True)
+    zd.add_argument("--output", "-o", required=True)
     return p
 
 
@@ -74,6 +104,66 @@ def main(argv=None):
         out = mgard_tpu.decompress(buf)
         out.tofile(args.output)
         print(f"wrote {out.nbytes} bytes, shape {out.shape}, {out.dtype}")
+    elif args.command == "refactor":
+        import json
+        import pathlib
+
+        from mgard_tpu.hierarchy import Hierarchy
+        from mgard_tpu.models import mdr
+
+        data = np.fromfile(args.input, dtype=np.dtype(args.dtype))
+        data = data.reshape(args.shape)
+        hier = Hierarchy(data.shape)
+        res = mdr.mdr_refactor(hier, data)
+        outdir = pathlib.Path(args.output)
+        outdir.mkdir(parents=True, exist_ok=True)
+        (outdir / "metadata.bin").write_bytes(res.metadata.pack())
+        total = 0
+        for l, streams in enumerate(res.streams):
+            for k, s_ in enumerate(streams):
+                (outdir / f"level{l}_stream{k}.bin").write_bytes(s_)
+                total += len(s_)
+        print(f"refactored {data.nbytes} bytes into {total} stream bytes "
+              f"({len(res.streams)} levels)")
+    elif args.command == "reconstruct":
+        import pathlib
+
+        from mgard_tpu.hierarchy import Hierarchy
+        from mgard_tpu.models import mdr
+
+        indir = pathlib.Path(args.input)
+        md = mdr.MDRMetadata.unpack((indir / "metadata.bin").read_bytes())
+        hier = Hierarchy(md.shape)
+        counts = mdr.mdr_request(md, args.tolerance, args.smoothness)
+        rec = mdr.MDReconstructor(hier, md)
+        fetched = 0
+        for l, c in enumerate(counts):
+            streams = {0: (indir / f"level{l}_stream0.bin").read_bytes()}
+            for b in range(c):
+                s_ = (indir / f"level{l}_stream{1+b}.bin").read_bytes()
+                streams[1 + b] = s_
+                fetched += len(s_)
+            rec.add_streams(l, streams)
+        out = rec.reconstruct(counts)
+        out.astype(md.dtype).tofile(args.output)
+        print(f"reconstructed {out.nbytes} bytes from {fetched} stream "
+              f"bytes (planes per level: {counts})")
+    elif args.command == "zfp":
+        from mgard_tpu.models.zfp import compress_zfp
+
+        data = np.fromfile(args.input, dtype=np.dtype(args.dtype))
+        data = data.reshape(args.shape)
+        buf = compress_zfp(data, rate=args.rate)
+        with open(args.output, "wb") as f:
+            f.write(buf)
+        print(f"{data.nbytes} -> {len(buf)} bytes "
+              f"(fixed rate {args.rate} bits/value)")
+    elif args.command == "zfp-decompress":
+        from mgard_tpu.models.zfp import decompress_zfp
+
+        out = decompress_zfp(open(args.input, "rb").read())
+        out.tofile(args.output)
+        print(f"wrote {out.nbytes} bytes, shape {out.shape}")
     elif args.command == "inspect":
         from mgard_tpu.io import format as fmt
 
