@@ -59,6 +59,9 @@ class Header:
     # own [exponents, words] section pair.
     dd_dim: int = 0
     dd_nblocks: int = 0
+    # CRC32 of each payload section (integrity check on decode, same role
+    # as the reference's header CRC but extended to the payload).
+    section_crcs: Tuple[int, ...] = ()
 
     def pack(self) -> bytes:
         out = bytearray()
@@ -80,6 +83,8 @@ class Header:
         out += struct.pack("<B", len(self.section_sizes))
         out += struct.pack(f"<{len(self.section_sizes)}Q",
                            *self.section_sizes)
+        crcs = self.section_crcs or (0,) * len(self.section_sizes)
+        out += struct.pack(f"<{len(crcs)}I", *crcs)
         return bytes(out)
 
     @classmethod
@@ -109,6 +114,7 @@ class Header:
         dd_dim, dd_nblocks = take("<BI")
         (nsec,) = take("<B")
         section_sizes = take(f"<{nsec}Q")
+        section_crcs = take(f"<{nsec}I")
         return cls(dtype=np.dtype(_DTYPES[dtype_code]), shape=tuple(shape),
                    uniform=bool(uniform), coordinates=coordinates,
                    error_mode=error_mode, s=s, tolerance=tolerance,
@@ -116,12 +122,14 @@ class Header:
                    section_sizes=tuple(section_sizes),
                    roi_block=roi_block, roi_l_th=roi_l_th,
                    roi_scalar=roi_scalar, dd_dim=dd_dim,
-                   dd_nblocks=dd_nblocks)
+                   dd_nblocks=dd_nblocks,
+                   section_crcs=tuple(section_crcs))
 
 
 def write_container(header: Header, sections: List[bytes]) -> bytes:
     header = dataclasses.replace(
-        header, section_sizes=tuple(len(s) for s in sections))
+        header, section_sizes=tuple(len(s) for s in sections),
+        section_crcs=tuple(zlib.crc32(s) & 0xFFFFFFFF for s in sections))
     hdr = header.pack()
     out = bytearray()
     out += MAGIC
@@ -147,8 +155,16 @@ def read_container(buf: bytes) -> Tuple[Header, List[bytes]]:
         raise ValueError("header CRC mismatch — corrupted buffer")
     header = Header.unpack(hdr)
     off = 24 + hdr_size
+    if off + sum(header.section_sizes) > len(buf):
+        raise ValueError("truncated buffer: payload shorter than header "
+                         "declares")
     sections = []
-    for size in header.section_sizes:
-        sections.append(buf[off:off + size])
+    for i, size in enumerate(header.section_sizes):
+        sec = buf[off:off + size]
+        if header.section_crcs and header.section_crcs[i] != (
+                zlib.crc32(sec) & 0xFFFFFFFF):
+            raise ValueError(f"payload section {i} CRC mismatch — "
+                             "corrupted buffer")
+        sections.append(sec)
         off += size
     return header, sections

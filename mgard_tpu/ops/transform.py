@@ -67,6 +67,11 @@ def prolong(c: jax.Array, lev: DimLevel, axis: int) -> jax.Array:
     dt = c.dtype
     nc = c.shape[axis]
     if lev.coarse_is_stride2:
+        if axis >= c.ndim - 1 and c.ndim > 1:
+            # keep the size-2 stack dim out of the lane position (see
+            # _interleave_dim)
+            return jnp.moveaxis(
+                prolong(jnp.moveaxis(c, axis, 0), lev, 0), 0, axis)
         r = jnp.asarray(lev.new_ratio, dtype=dt)
         shp = [1] * c.ndim
         shp[axis] = nc - 1
@@ -296,10 +301,18 @@ def _interleave_dim(old: jax.Array, new: jax.Array, lev: DimLevel,
     """Merge old-position values (nc) and new-position values (nn) along
     ``axis`` into the dense level grid (n).  Stride-2 levels interleave
     with a stack+reshape (no scatter); the non-dyadic top level falls back
-    to two static scatters."""
+    to two static scatters.
+
+    The stack must never leave its size-2 dimension in the minor (lane)
+    position — TPU tiling would pad it 64x (a 32 GB temp at 512^3) — so
+    minor-axis merges are routed through a front-axis transpose."""
     dt = old.dtype
     nc = old.shape[axis]
     if lev.coarse_is_stride2:
+        if axis >= old.ndim - 1 and old.ndim > 1:
+            out = _interleave_dim(jnp.moveaxis(old, axis, 0),
+                                  jnp.moveaxis(new, axis, 0), lev, 0)
+            return jnp.moveaxis(out, 0, axis)
         pad = [(0, 0, 0)] * old.ndim
         pad[axis] = (0, 1, 0)
         zero = jnp.zeros((), dtype=dt)
