@@ -143,6 +143,8 @@ def decompress(buf: bytes) -> np.ndarray:
     if header.roi_block:
         from .models.roi import decompress_roi
         return decompress_roi(header, sections)
+    from .config import Decomposition
+    cfg = Config(decomposition=Decomposition(header.decomposition))
     comp = get_compressor(header.shape, header.dtype, s=header.s,
-                          coordinates=header.coordinates)
+                          coordinates=header.coordinates, config=cfg)
     return comp.decompress_parsed(header, sections)

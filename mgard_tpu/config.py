@@ -20,7 +20,8 @@ class Lossless(enum.IntEnum):
 
 class Decomposition(enum.IntEnum):
     MULTIDIM = 0        # all dims per level (reference MultiDim default)
-    # SINGLEDIM / HYBRID reserved for parity with mgard-x Types.h:19
+    SINGLEDIM = 1       # one dim at a time (reference Types.h:19)
+    # HYBRID reserved
 
 
 class ErrorMode(enum.IntEnum):

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import Config, ErrorMode, Lossless
+from ..config import Config, Decomposition, ErrorMode, Lossless
 from ..hierarchy import Hierarchy
 from ..io import format as fmt
 from ..ops import bitplane, transform
@@ -63,10 +63,24 @@ class Compressor:
     # ------------------------------------------------------------------
     def _encode_impl(self, v: jax.Array, tol: jax.Array, grouped: bool):
         hier = self.hier
-        pyr = transform.decompose(hier, v)
-        blocks = transform.pyramid_to_blocks(hier, pyr)
-        qblocks = quantize_blocks(hier, blocks, self.s, tol)
-        flat = jnp.concatenate([q.reshape(-1) for q in qblocks])
+        if self.config.decomposition == Decomposition.SINGLEDIM:
+            if not math.isinf(self.s):
+                raise NotImplementedError(
+                    "SingleDim decomposition currently supports L-inf "
+                    "error control only")
+            from ..ops import transform_singledim as sd
+            from ..ops.quantize import supremum_quantum
+            coarse, slabs = sd.decompose_sd(hier, v)
+            flatf = sd.flatten_slabs(hier, coarse, slabs)
+            inv_q = 1.0 / supremum_quantum(hier, tol).astype(flatf.dtype)
+            scaled = flatf * inv_q
+            flat = jnp.trunc(jnp.copysign(0.5 + jnp.abs(scaled), scaled)
+                             ).astype(jnp.int32)
+        else:
+            pyr = transform.decompose(hier, v)
+            blocks = transform.pyramid_to_blocks(hier, pyr)
+            qblocks = quantize_blocks(hier, blocks, self.s, tol)
+            flat = jnp.concatenate([q.reshape(-1) for q in qblocks])
         enc = bitplane.encode_pergroup if grouped else bitplane.encode
         exponents, words, count = enc(flat)
         return exponents, words, count
@@ -78,6 +92,13 @@ class Compressor:
             dec = (bitplane.decode_pergroup if grouped
                    else bitplane.decode)
             flat = dec(exponents, words, hier.ndof())
+            if self.config.decomposition == Decomposition.SINGLEDIM:
+                from ..ops import transform_singledim as sd
+                from ..ops.quantize import supremum_quantum
+                q = supremum_quantum(hier, tol).astype(self.dtype)
+                flatf = flat.astype(self.dtype) * q
+                coarse, slabs = sd.unflatten_slabs(hier, flatf)
+                return sd.recompose_sd(hier, coarse, slabs)
             sizes = _block_sizes(hier)
             specs = transform.block_specs(hier)
             qblocks = []
@@ -138,7 +159,8 @@ class Compressor:
             coordinates=None if self.hier.uniform else self.hier.coordinates,
             error_mode=int(mode), s=self.s, tolerance=abs_tol, norm=norm,
             lossless=int(lossless), n_levels=self.hier.L,
-            section_sizes=())
+            section_sizes=(),
+            decomposition=int(self.config.decomposition))
         return fmt.write_container(header, [exp_bytes, word_bytes])
 
     def decompress(self, buf: bytes) -> np.ndarray:
@@ -180,8 +202,9 @@ def _cached_compressor(shape: Tuple[int, ...], dtype_str: str, s: float,
     coords = None if coords_key is None else [
         np.asarray(c) for c in coords_key]
     hier = Hierarchy(shape, coordinates=coords)
-    lossless, zstd_level = config_key
-    cfg = Config(lossless=Lossless(lossless), zstd_level=zstd_level)
+    lossless, zstd_level, decomposition = config_key
+    cfg = Config(lossless=Lossless(lossless), zstd_level=zstd_level,
+                 decomposition=Decomposition(decomposition))
     return Compressor(hier, np.dtype(dtype_str), s=s, config=cfg)
 
 
@@ -192,6 +215,7 @@ def get_compressor(shape, dtype, s: float = math.inf, coordinates=None,
     coords_key = None
     if coordinates is not None:
         coords_key = tuple(tuple(float(x) for x in c) for c in coordinates)
-    return _cached_compressor(tuple(int(x) for x in shape),
-                              np.dtype(dtype).str, float(s), coords_key,
-                              (int(cfg.lossless), cfg.zstd_level))
+    return _cached_compressor(
+        tuple(int(x) for x in shape), np.dtype(dtype).str, float(s),
+        coords_key,
+        (int(cfg.lossless), cfg.zstd_level, int(cfg.decomposition)))

@@ -99,6 +99,27 @@ def transpose32(x: jax.Array) -> jax.Array:
     return x
 
 
+def transpose32_mid(x: jax.Array) -> jax.Array:
+    """Butterfly bit-transpose along axis 1 of a (C, 32, W) uint32 array.
+
+    Same semantics as :func:`transpose32` applied to every (32, W) slab:
+    bit i of out[c, b, w] = bit b of x[c, i, w].  All intermediates keep
+    the W-wide minor axis (TPU tile friendly)."""
+    for mask, sh in zip(_MASKS, _SHIFTS):
+        idx0 = np.asarray([i for i in range(32) if not (i & sh)])
+        idx1 = np.asarray([i | sh for i in range(32) if not (i & sh)])
+        a = x[:, idx0, :]
+        b = x[:, idx1, :]
+        t = ((a >> np.uint32(sh)) ^ b) & mask
+        b = b ^ t
+        a = a ^ (t << np.uint32(sh))
+        order = np.empty(32, dtype=np.int64)
+        order[idx0] = np.arange(16)
+        order[idx1] = 16 + np.arange(16)
+        x = jnp.concatenate([a, b], axis=1)[:, order, :]
+    return x
+
+
 def _bit_length32(x: jax.Array) -> jax.Array:
     """Integer bit length of uint32 values (0 -> 0), exact."""
     e = jnp.zeros(x.shape, dtype=jnp.int32)
@@ -155,32 +176,45 @@ def encode(q: jax.Array):
 
     Returns ``(chunk_exponents uint8 (nchunks,), words uint32 (cap,),
     count int32 scalar)``; only ``words[:count]`` is meaningful.
+
+    Internal layout: the vector is viewed as (chunks, 32, 128); the
+    "group" g of chunk c holds the 32 values ``q[c*4096 + 128*i + g]``
+    (strided within the 4096-value chunk window).  This keeps every array
+    in the pipeline at a 128-wide minor axis — no physical transposes, no
+    TPU tile padding — and exponent granularity is per-chunk anyway.
     """
     n = q.shape[0]
-    sign, planes, ngroups = _to_rows(q)
-    nchunks = ngroups // CHUNK_GROUPS
     C = CHUNK_GROUPS
+    vals_per_chunk = GROUP * C
+    nchunks = -(-n // vals_per_chunk)
+    pad = nchunks * vals_per_chunk - n
+    if pad:
+        q = jnp.concatenate([q, jnp.zeros(pad, dtype=q.dtype)])
+    qc = q.reshape(nchunks, GROUP, C)
+    m = jnp.abs(qc).astype(jnp.uint32)
+    neg = (qc < 0).astype(jnp.uint32)
 
-    # per-chunk exponent: bits needed by the max magnitude in the chunk.
-    # max magnitude bit-length == bit-length of OR over the chunk of all
-    # plane words' occupancy: plane b nonzero somewhere in chunk <=> some
-    # value has bit b.
-    occ = (planes.reshape(GROUP, nchunks, C) != 0).any(axis=2)  # (32, nc)
-    bit_idx = jnp.arange(1, GROUP + 1, dtype=jnp.int32)[:, None]
-    e = jnp.max(jnp.where(occ, bit_idx, 0), axis=0)             # (nchunks,)
+    planes_c = transpose32_mid(m)                    # (nc, 32, C) LSB-first
+    sign_c = jnp.zeros((nchunks, C), dtype=jnp.uint32)
+    for i in range(GROUP):
+        sign_c = sign_c | (neg[:, i, :] << np.uint32(i))
 
-    counts = jnp.where(e > 0, e + 1, 0)                         # rows/chunk
+    # per-chunk exponent: highest occupied bitplane across the chunk
+    occ = (planes_c != 0).any(axis=2)                # (nc, 32)
+    bit_idx = jnp.arange(1, GROUP + 1, dtype=jnp.int32)[None, :]
+    e = jnp.max(jnp.where(occ, bit_idx, 0), axis=1)  # (nchunks,)
+
+    counts = jnp.where(e > 0, e + 1, 0)              # rows per chunk
     offsets = jnp.cumsum(counts) - counts
     total_rows = offsets[-1] + counts[-1]
 
     # padded per-chunk rows: row 0 = signs; row k (1..32) = plane e-k
-    # (MSB first).  Build as (nchunks, 33, C) with the 128-wide minor axis.
-    planes_c = planes.reshape(GROUP, nchunks, C).transpose(1, 0, 2)
-    sign_c = sign.reshape(nchunks, 1, C)
+    # (MSB first), as (nchunks, 33, C) with the 128-wide minor axis.
     k = jnp.arange(1, GROUP + 1, dtype=jnp.int32)[None, :, None]
     src_plane = jnp.clip(e[:, None, None] - k, 0, GROUP - 1)    # (nc,32,1)
-    ordered = jnp.take_along_axis(planes_c, src_plane, axis=1)  # (nc,32,C)
-    padded = jnp.concatenate([sign_c, ordered], axis=1)         # (nc,33,C)
+    ordered = jnp.take_along_axis(
+        planes_c, jnp.broadcast_to(src_plane, (nchunks, GROUP, C)), axis=1)
+    padded = jnp.concatenate([sign_c[:, None, :], ordered], axis=1)
     padded = padded.reshape(nchunks * (GROUP + 1), C)
 
     # condense rows: out_row[j] = padded[chunk(j)*(33) + j - offsets[chunk]]
@@ -221,9 +255,15 @@ def decode(exponents: jax.Array, words: jax.Array, n: int) -> jax.Array:
     idx_c = jnp.clip(idx, 0, cap_rows - 1)
     planes_c = jnp.where(valid[:, :, None],
                          jnp.take(rows, idx_c, axis=0), np.uint32(0))
-    planes = planes_c.transpose(1, 0, 2).reshape(GROUP, nchunks * C)
-    sign = sign_c.reshape(-1)
-    return _from_rows(sign, planes, n)
+
+    m = transpose32_mid(planes_c)                    # (nc, 32, C) magnitudes
+    vals = m.astype(jnp.int32)
+    neg_rows = []
+    for i in range(GROUP):
+        neg = (sign_c >> np.uint32(i)) & np.uint32(1)
+        neg_rows.append(jnp.where(neg == 1, -vals[:, i, :], vals[:, i, :]))
+    out = jnp.stack(neg_rows, axis=1)                # (nc, 32, C)
+    return out.reshape(-1)[:n]
 
 
 # ---------------------------------------------------------------------------
