@@ -32,7 +32,19 @@ import numpy as np
 
 from ..hierarchy import Hierarchy
 from ..ops import transform
-from ..ops.bitplane import GROUP, transpose32
+from ..ops.bitplane import GROUP, transpose32_mid
+
+_MDR_W = 128  # lane width of the chunked bit-transpose layout
+
+
+def _mdr_layout(n: int):
+    """(lane width, nchunks, padded ngroups) for a level of n values.
+    Small levels use a narrow single chunk so 4-coefficient levels don't
+    pay 128-word streams."""
+    ngroups0 = max(1, -(-n // GROUP))
+    w = _MDR_W if ngroups0 >= _MDR_W else ngroups0
+    nchunks = -(-ngroups0 // w)
+    return w, nchunks, nchunks * w
 
 NUM_BITPLANES = 30  # magnitude planes (fits uint32 with headroom)
 
@@ -129,7 +141,7 @@ def encode_level(flat: jax.Array, B: int):
     MSB first, sq_err (B+1,), max_err (B+1,)).
     """
     n = flat.shape[0]
-    ngroups = -(-n // GROUP)
+    W, nchunks, ngroups = _mdr_layout(n)
     pad = ngroups * GROUP - n
     if pad:
         flat = jnp.concatenate([flat, jnp.zeros(pad, dtype=flat.dtype)])
@@ -145,14 +157,19 @@ def encode_level(flat: jax.Array, B: int):
                     2.0 ** B - 1).astype(jnp.uint32)
     neg = (flat < 0).astype(jnp.uint32)
 
-    mt = m.reshape(ngroups, GROUP).T         # (32, G)
-    st = neg.reshape(ngroups, GROUP).T
-    planes_lsb = transpose32(mt)             # (32, G): row b = bitplane b
-    sign_words = jnp.zeros(ngroups, dtype=jnp.uint32)
+    # chunked (nc, 32, 128) layout: keeps the minor axis 128-wide through
+    # the butterfly (no TPU tile padding); group (c,g) holds the strided
+    # values flat[c*4096 + 128*i + g].
+    mc = m.reshape(nchunks, GROUP, W)
+    sc = neg.reshape(nchunks, GROUP, W)
+    planes_c = transpose32_mid(mc)           # (nc, 32, W) LSB-first
+    sign_c = jnp.zeros((nchunks, W), dtype=jnp.uint32)
     for i in range(GROUP):
-        sign_words = sign_words | (st[i] << np.uint32(i))
+        sign_c = sign_c | (sc[:, i, :] << np.uint32(i))
+    sign_words = sign_c.reshape(-1)          # (G,)
     # keep B planes, MSB first: plane b (0=MSB) is bit index B-1-b
-    planes = planes_lsb[np.arange(B - 1, -1, -1)]  # (B, G)
+    planes = planes_c[:, np.arange(B - 1, -1, -1), :] \
+        .transpose(1, 0, 2).reshape(B, ngroups)
 
     inv_scale = 1.0 / scale
     sq_err = []
@@ -169,18 +186,18 @@ def encode_level(flat: jax.Array, B: int):
 def decode_level(sign_words: jax.Array, planes: jax.Array, e: jax.Array,
                  B: int, b_kept: int, n: int, dtype):
     """Reconstruct one level from its first ``b_kept`` bitplanes."""
-    ngroups = sign_words.shape[0]
-    zero = jnp.zeros((1, ngroups), dtype=jnp.uint32)
+    W, nchunks, ngroups = _mdr_layout(n)
+    zero = jnp.zeros((nchunks, 1, W), dtype=jnp.uint32)
     rows = []
-    for bit in range(GROUP - 1, -1, -1):
+    for bit in range(GROUP):
         # bitplane with LSB index `bit` is stored plane B-1-bit (MSB first)
         k = B - 1 - bit
         if 0 <= k < b_kept:
-            rows.append(planes[k][None, :])
+            rows.append(planes[k].reshape(nchunks, 1, W))
         else:
             rows.append(zero)
-    full = jnp.concatenate(rows[::-1], axis=0)   # (32, G), row b = plane b
-    mt = transpose32(full)                        # (32, G): row i = value i
+    full = jnp.concatenate(rows, axis=1)          # (nc, 32, 128)
+    mt = transpose32_mid(full)                    # (nc, 32, 128) magnitudes
     scale = jnp.exp2((B - e).astype(jnp.float64)).astype(dtype)
     m = mt.astype(dtype)
     if 0 < b_kept < B:
@@ -188,11 +205,12 @@ def decode_level(sign_words: jax.Array, planes: jax.Array, e: jax.Array,
         half = 2.0 ** (B - b_kept - 1)
         m = m + jnp.where(mt > 0, half, 0.0).astype(dtype)
     vals = m / scale
+    sign_c = sign_words.reshape(nchunks, W)
     out = []
     for i in range(GROUP):
-        negbit = (sign_words >> np.uint32(i)) & np.uint32(1)
-        out.append(jnp.where(negbit == 1, -vals[i], vals[i]))
-    return jnp.stack(out, axis=0).T.reshape(-1)[:n]
+        negbit = (sign_c >> np.uint32(i)) & np.uint32(1)
+        out.append(jnp.where(negbit == 1, -vals[:, i, :], vals[:, i, :]))
+    return jnp.stack(out, axis=1).reshape(-1)[:n]
 
 
 # ---------------------------------------------------------------------------
@@ -311,7 +329,7 @@ class MDReconstructor:
 
         signs, planes_in, exps = [], [], []
         for l, lm in enumerate(md.levels):
-            ngroups = -(-lm.n // GROUP)
+            ngroups = _mdr_layout(lm.n)[2]
             sign = self.fetched[l][0]
             b_kept = counts[l]
             sign_w = (np.frombuffer(sign, "<u4") if sign is not None
