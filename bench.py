@@ -84,7 +84,7 @@ def main():
             tol = jnp.asarray(1e-3, dtype=jnp.float32)
 
             t_enc = timed(comp._encode, v, tol)
-            e, w, c = comp._encode(v, tol)
+            e, w, c, _ = comp._encode(v, tol)
             _sync((e, w, c))
             t_dec = timed(comp._decode, e, w, tol)
 

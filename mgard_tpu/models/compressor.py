@@ -83,7 +83,11 @@ class Compressor:
             flat = jnp.concatenate([q.reshape(-1) for q in qblocks])
         enc = bitplane.encode_pergroup if grouped else bitplane.encode
         exponents, words, count = enc(flat)
-        return exponents, words, count
+        # overflow guard: a quantized magnitude at the int32 ceiling means
+        # the tolerance is too tight for this dynamic range (the reference
+        # throws from LinearQuantizer, LinearQuantizer.tpp:20-26)
+        overflow = jnp.max(jnp.abs(flat)) >= np.int32(2**31 - 1)
+        return exponents, words, count, overflow
 
     @functools.lru_cache(maxsize=4)
     def _decode_fn(self, grouped: bool):
@@ -138,8 +142,12 @@ class Compressor:
 
         from ..utils.log import Timer
         with Timer("compress (device)", v.nbytes):
-            exponents, words, count = self._encode(v, abs_tol)
+            exponents, words, count, overflow = self._encode(v, abs_tol)
             count = int(count)
+        if bool(overflow):
+            raise OverflowError(
+                "quantized coefficients exceed the int32 range — the "
+                "tolerance is too small for this data's dynamic range")
         exp_np = np.asarray(exponents)
         words_np = np.asarray(words)[:count]
 

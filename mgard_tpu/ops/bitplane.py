@@ -82,20 +82,16 @@ def transpose32(x: jax.Array) -> jax.Array:
     the input back.  5 masked shift/xor rounds (Hacker's-Delight style),
     each a few full-array VPU ops — no per-bit reduction.
     """
+    G = x.shape[1]
     for mask, sh in zip(_MASKS, _SHIFTS):
-        # rows are paired (i, i+sh) for i with (i & sh) == 0
-        idx0 = [i for i in range(32) if not (i & sh)]
-        a = x[np.asarray(idx0)]               # (16, G)
-        b = x[np.asarray([i | sh for i in idx0])]
+        # rows i and i|sh are the two halves of contiguous 2*sh row groups
+        xr = x.reshape(32 // (2 * sh), 2, sh, G)
+        a = xr[:, 0]
+        b = xr[:, 1]
         t = ((a >> np.uint32(sh)) ^ b) & mask
         b = b ^ t
         a = a ^ (t << np.uint32(sh))
-        # reassemble preserving row order
-        out = [None] * 32
-        for k, i in enumerate(idx0):
-            out[i] = a[k]
-            out[i | sh] = b[k]
-        x = jnp.stack(out, axis=0)
+        x = jnp.stack([a, b], axis=1).reshape(32, G)
     return x
 
 
@@ -103,20 +99,19 @@ def transpose32_mid(x: jax.Array) -> jax.Array:
     """Butterfly bit-transpose along axis 1 of a (C, 32, W) uint32 array.
 
     Same semantics as :func:`transpose32` applied to every (32, W) slab:
-    bit i of out[c, b, w] = bit b of x[c, i, w].  All intermediates keep
-    the W-wide minor axis (TPU tile friendly)."""
+    bit i of out[c, b, w] = bit b of x[c, i, w].  Rows i and i|sh pair up
+    as the two halves of contiguous 2*sh row groups, so every round is
+    reshape + slice + elementwise — no gathers, and the W-wide minor axis
+    is preserved throughout (TPU tile friendly)."""
+    C, _, W = x.shape
     for mask, sh in zip(_MASKS, _SHIFTS):
-        idx0 = np.asarray([i for i in range(32) if not (i & sh)])
-        idx1 = np.asarray([i | sh for i in range(32) if not (i & sh)])
-        a = x[:, idx0, :]
-        b = x[:, idx1, :]
+        xr = x.reshape(C, 32 // (2 * sh), 2, sh, W)
+        a = xr[:, :, 0]                      # rows with (i & sh) == 0
+        b = xr[:, :, 1]                      # their i|sh partners
         t = ((a >> np.uint32(sh)) ^ b) & mask
         b = b ^ t
         a = a ^ (t << np.uint32(sh))
-        order = np.empty(32, dtype=np.int64)
-        order[idx0] = np.arange(16)
-        order[idx1] = 16 + np.arange(16)
-        x = jnp.concatenate([a, b], axis=1)[:, order, :]
+        x = jnp.stack([a, b], axis=2).reshape(C, 32, W)
     return x
 
 

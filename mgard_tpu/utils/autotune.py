@@ -98,7 +98,7 @@ def autotune(shape, dtype=np.float32, s: float = math.inf,
             np.asarray(jax.jit(lambda a: a.reshape(-1)[0])(leaf))
             return time.perf_counter() - t0
         t = max((run(2 * iters) - run(iters)) / iters, 1e-9)
-        e, w, c = comp._encode(v, tol)
+        e, w, c, _ = comp._encode(v, tol)
         size = int(c) * 4 + int(np.asarray(e).size)
         gbps = nbytes / t / 1e9
         ratio = nbytes / max(size, 1)

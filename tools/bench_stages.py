@@ -114,7 +114,7 @@ def main(edge=512):
     # full pipelines
     comp = Compressor(hier, np.float32, s=math.inf)
     t_enc = timed("FULL encode", comp._encode, x, tol)
-    ew = comp._encode(x, tol)
+    ew = comp._encode(x, tol)[:3]
     sync(ew)
     t_dec = timed("FULL decode", comp._decode, ew[0], ew[1], tol)
     print(f"e2e: {nbytes/(t_enc+t_dec)/1e9:.2f} GB/s")
