@@ -373,3 +373,59 @@ def mdr_reconstruct(hier: Hierarchy, result: MDRefactorResult,
             streams[1 + b] = result.streams[l][1 + b]
         rec.add_streams(l, streams)
     return rec.reconstruct(counts)
+
+
+# ---------------------------------------------------------------------------
+# Domain-decomposed MDR (reference MDRHighLevel,
+# include/mgard-x/MDRHighLevel/MDRHighLevel.hpp:29-270)
+# ---------------------------------------------------------------------------
+
+class MDRDataset:
+    """Refactored dataset split into independent domain blocks.
+
+    Each block carries its own metadata and streams; requests pick
+    per-block bitplane counts for a shared target tolerance (L-infinity
+    errors take the max over blocks, so each block gets the full budget).
+    """
+
+    def __init__(self, shape, dd_dim: int, edges, results):
+        self.shape = tuple(shape)
+        self.dd_dim = dd_dim
+        self.edges = list(edges)
+        self.results = results  # List[MDRefactorResult]
+
+    def request(self, tol: float, s: float = math.inf):
+        return [mdr_request(r.metadata, tol, s) for r in self.results]
+
+    def reconstruct(self, tol: float, s: float = math.inf) -> np.ndarray:
+        outs = []
+        for r in self.results:
+            hier = Hierarchy(r.metadata.shape)
+            outs.append(mdr_reconstruct(hier, r, tol, s))
+        return np.concatenate(outs, axis=self.dd_dim)
+
+    def retrieved_bytes(self, tol: float, s: float = math.inf) -> int:
+        total = 0
+        for r, counts in zip(self.results, self.request(tol, s)):
+            for l, c in enumerate(counts):
+                total += len(r.streams[l][0])
+                total += sum(len(r.streams[l][1 + b]) for b in range(c))
+        return total
+
+
+def mdr_refactor_dd(data, max_block_bytes: int = 2 << 30,
+                    B: int = NUM_BITPLANES) -> MDRDataset:
+    """Refactor with domain decomposition along the largest dim."""
+    arr = np.asarray(data)
+    nbytes = arr.nbytes
+    dd_dim = int(np.argmax(arr.shape))
+    nblocks = max(1, int(-(-nbytes // max_block_bytes)))
+    edges = np.linspace(0, arr.shape[dd_dim], nblocks + 1).astype(int)
+    results = []
+    for i in range(nblocks):
+        sl = [slice(None)] * arr.ndim
+        sl[dd_dim] = slice(edges[i], edges[i + 1])
+        block = np.ascontiguousarray(arr[tuple(sl)])
+        hier = Hierarchy(block.shape)
+        results.append(mdr_refactor(hier, block, B=B))
+    return MDRDataset(arr.shape, dd_dim, edges, results)

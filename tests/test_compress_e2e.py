@@ -107,6 +107,16 @@ def test_zstd_stage_smaller():
     assert len(b1) <= len(b0)
 
 
+def test_4d_and_5d_e2e():
+    # The reference supports 1..7-D (CPU) / 1..5-D (X); the transform and
+    # layout machinery here is N-D generic.
+    for shape in [(9, 9, 5, 5), (5, 5, 5, 3, 3)]:
+        v = smooth_field(shape, seed=hash(shape) % 997)
+        buf = mgard_tpu.compress(v, 1e-2)
+        out = mgard_tpu.decompress(buf)
+        assert np.abs(out - v).max() <= 1e-2, shape
+
+
 def test_nondyadic_shape_e2e():
     shape = (50, 30)
     v = smooth_field(shape, seed=15)

@@ -68,6 +68,18 @@ def test_incremental_refinement_reuses_state():
     assert np.abs(out2 - v).max() <= np.abs(out1 - v).max()
 
 
+def test_domain_decomposed_mdr():
+    shape = (40, 17)
+    v = smooth_field(shape, seed=45).astype(np.float64)
+    ds = mdr.mdr_refactor_dd(v, max_block_bytes=2000)
+    assert len(ds.results) >= 2
+    for tol in (1e-1, 1e-3):
+        out = ds.reconstruct(tol)
+        assert out.shape == shape
+        assert np.abs(out - v).max() <= tol
+    assert ds.retrieved_bytes(1e-1) < ds.retrieved_bytes(1e-3)
+
+
 def test_metadata_roundtrip():
     shape = (9, 9)
     h = Hierarchy(shape)
