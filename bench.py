@@ -17,12 +17,26 @@ overhead cancels; device execution is serial per queue).
 
 import json
 import math
+import os
+import signal
 import sys
 import time
 
 import numpy as np
 
 BASELINE_GBPS = 10.0
+# Per-size wall-clock budget: first 512^3 compiles take ~1-2 min through the
+# remote-compile tunnel; a wedged compile service can hang indefinitely, so
+# each size gets an alarm and the bench falls back to the next size.
+SIZE_BUDGET_S = int(os.environ.get("MGARD_BENCH_SIZE_BUDGET", "420"))
+
+
+class _Timeout(Exception):
+    pass
+
+
+def _alarm(signum, frame):
+    raise _Timeout()
 
 
 def smooth_field_device(shape, dtype):
@@ -74,8 +88,10 @@ def main():
     from mgard_tpu.hierarchy import Hierarchy
     from mgard_tpu.models.compressor import Compressor
 
+    signal.signal(signal.SIGALRM, _alarm)
     for edge in (512, 256, 128):
         shape = (edge, edge, edge)
+        signal.alarm(SIZE_BUDGET_S)
         try:
             hier = Hierarchy(shape)
             comp = Compressor(hier, np.float32, s=math.inf)
@@ -101,6 +117,7 @@ def main():
                   f"ratio={ratio:.2f}x", file=sys.stderr)
             assert err <= 1e-3, "error bound violated in bench"
 
+            signal.alarm(0)
             print(json.dumps({
                 "metric": f"encode+decode GB/s/chip, {edge}^3 f32, eb=1e-3",
                 "value": round(gbps, 3),
@@ -108,9 +125,10 @@ def main():
                 "vs_baseline": round(gbps / BASELINE_GBPS, 3),
             }))
             return
-        except Exception as exc:  # noqa: BLE001
-            print(f"# {shape} failed: {type(exc).__name__}: {exc}",
-                  file=sys.stderr)
+        except (_Timeout, Exception) as exc:  # noqa: BLE001
+            signal.alarm(0)
+            print(f"# {shape} failed: {type(exc).__name__}: "
+                  f"{str(exc)[:300]}", file=sys.stderr)
             continue
     raise SystemExit("all bench sizes failed")
 

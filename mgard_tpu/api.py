@@ -60,7 +60,6 @@ def _compress_multiblock(arr, tolerance, s, emode, coordinates, cfg):
     bound holds (ErrorToleranceCalculator.hpp:135-154)."""
     import math as _math
 
-    from .models.compressor import Compressor
     from .parallel.domain import local_abs_tol
 
     dd_dim = int(np.argmax(arr.shape))

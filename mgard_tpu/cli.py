@@ -105,7 +105,6 @@ def main(argv=None):
         out.tofile(args.output)
         print(f"wrote {out.nbytes} bytes, shape {out.shape}, {out.dtype}")
     elif args.command == "refactor":
-        import json
         import pathlib
 
         from mgard_tpu.hierarchy import Hierarchy

@@ -19,7 +19,7 @@ from __future__ import annotations
 import math
 import struct
 import zlib
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

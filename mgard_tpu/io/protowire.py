@@ -12,7 +12,7 @@ Schema entries: ``field_name: (field_number, kind)`` where kind is one of
 from __future__ import annotations
 
 import struct
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 __all__ = ["encode_message", "decode_message"]
 

@@ -21,13 +21,13 @@ TPU-native re-design, in two ways:
 from __future__ import annotations
 
 import math
-from typing import List, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import Config, ErrorMode, Lossless
+from ..config import ErrorMode, Lossless
 from ..hierarchy import Hierarchy
 from ..ops import bitplane, transform
 from ..ops.quantize import (_block_inv_quantum_volume, _broadcast_outer,

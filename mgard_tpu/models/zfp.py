@@ -21,9 +21,8 @@ from __future__ import annotations
 
 import dataclasses
 import itertools
-import math
 import struct
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
