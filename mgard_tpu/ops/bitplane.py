@@ -82,37 +82,38 @@ def transpose32(x: jax.Array) -> jax.Array:
     the input back.  5 masked shift/xor rounds (Hacker's-Delight style),
     each a few full-array VPU ops — no per-bit reduction.
     """
-    G = x.shape[1]
+    return _butterfly(x, axis=0)
+
+
+def _butterfly(x: jax.Array, axis: int) -> jax.Array:
+    """5-round butterfly bit-transpose along a length-32 ``axis``.
+
+    Row i pairs with row i^sh each round.  Implemented with two rolls
+    along the 32-row axis plus elementwise selects under *static* row
+    masks — the array never changes shape, so no reshape ever produces a
+    tiny sublane/lane dimension (which TPU tiling would pad up to 64x).
+    """
+    nrows = x.shape[axis]
+    assert nrows == GROUP
+    row_idx = np.arange(GROUP)
     for mask, sh in zip(_MASKS, _SHIFTS):
-        # rows i and i|sh are the two halves of contiguous 2*sh row groups
-        xr = x.reshape(32 // (2 * sh), 2, sh, G)
-        a = xr[:, 0]
-        b = xr[:, 1]
-        t = ((a >> np.uint32(sh)) ^ b) & mask
-        b = b ^ t
-        a = a ^ (t << np.uint32(sh))
-        x = jnp.stack([a, b], axis=1).reshape(32, G)
+        up = jnp.roll(x, -sh, axis=axis)     # row i+sh at position i
+        down = jnp.roll(x, sh, axis=axis)    # row i-sh at position i
+        # a-rows ((i & sh) == 0): partner below; b-rows: partner above
+        t_a = ((x >> np.uint32(sh)) ^ up) & mask
+        t_b = ((down >> np.uint32(sh)) ^ x) & mask
+        is_b = (row_idx & sh) != 0
+        shape = [1] * x.ndim
+        shape[axis] = GROUP
+        is_b = jnp.asarray(is_b.reshape(shape))
+        x = jnp.where(is_b, x ^ t_b, x ^ (t_a << np.uint32(sh)))
     return x
 
 
 def transpose32_mid(x: jax.Array) -> jax.Array:
-    """Butterfly bit-transpose along axis 1 of a (C, 32, W) uint32 array.
-
-    Same semantics as :func:`transpose32` applied to every (32, W) slab:
-    bit i of out[c, b, w] = bit b of x[c, i, w].  Rows i and i|sh pair up
-    as the two halves of contiguous 2*sh row groups, so every round is
-    reshape + slice + elementwise — no gathers, and the W-wide minor axis
-    is preserved throughout (TPU tile friendly)."""
-    C, _, W = x.shape
-    for mask, sh in zip(_MASKS, _SHIFTS):
-        xr = x.reshape(C, 32 // (2 * sh), 2, sh, W)
-        a = xr[:, :, 0]                      # rows with (i & sh) == 0
-        b = xr[:, :, 1]                      # their i|sh partners
-        t = ((a >> np.uint32(sh)) ^ b) & mask
-        b = b ^ t
-        a = a ^ (t << np.uint32(sh))
-        x = jnp.stack([a, b], axis=2).reshape(C, 32, W)
-    return x
+    """Butterfly bit-transpose along axis 1 of a (C, 32, W) uint32 array:
+    bit i of out[c, b, w] = bit b of x[c, i, w]."""
+    return _butterfly(x, axis=1)
 
 
 def _bit_length32(x: jax.Array) -> jax.Array:
