@@ -83,6 +83,16 @@ def timed(fn, *args, n1=2, n2=8):
 
 def main():
     import jax
+
+    # Persistent compilation cache: the tunneled remote-compile service is
+    # slow and serial; caching compiled executables on disk makes repeat
+    # bench runs (and the driver's run) start in seconds.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from mgard_tpu.hierarchy import Hierarchy

@@ -7,7 +7,8 @@ self-describing container format, progressive (MDR) refactoring, and
 data-parallel scaling over TPU meshes.
 """
 
-from .api import compress, decompress  # noqa: F401
+from .api import (compress, decompress, estimate_memory_footprint,  # noqa: F401
+                  release_cache)
 from .config import Config, ErrorMode, Lossless  # noqa: F401
 from .hierarchy import Hierarchy  # noqa: F401
 from .models.compressor import Compressor, get_compressor  # noqa: F401

@@ -17,7 +17,25 @@ from .config import Config, ErrorMode
 from .io import format as fmt
 from .models.compressor import get_compressor
 
-__all__ = ["compress", "decompress"]
+__all__ = ["compress", "decompress", "release_cache",
+           "estimate_memory_footprint"]
+
+
+def release_cache():
+    """Drop cached compressors and their compiled executables (reference
+    mgard_x::release_cache, include/compress_x.hpp:159-166)."""
+    from .models.compressor import _cached_compressor
+    _cached_compressor.cache_clear()
+
+
+def estimate_memory_footprint(shape, dtype=np.float32) -> int:
+    """Rough device-memory bytes needed to compress an array of this
+    shape (reference Compressor::EstimateMemoryFootprint).  The pipeline
+    holds ~2 float copies (pyramid + blocks), one int32 stream, the padded
+    bitplane layout and the condense buffer."""
+    n = int(np.prod([int(s) for s in shape]))
+    item = np.dtype(dtype).itemsize
+    return int(n * (2.3 * item + 4 * 3.2))
 
 
 def compress(data, tolerance: float, s: float = math.inf,
