@@ -1,1 +1,2 @@
-from .log import Timer, log  # noqa: F401
+from . import log  # noqa: F401
+from .log import Timer  # noqa: F401
