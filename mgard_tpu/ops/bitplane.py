@@ -88,26 +88,26 @@ def transpose32(x: jax.Array) -> jax.Array:
 def _butterfly(x: jax.Array, axis: int) -> jax.Array:
     """5-round butterfly bit-transpose along a length-32 ``axis``.
 
-    Row i pairs with row i^sh each round.  Implemented with two rolls
-    along the 32-row axis plus elementwise selects under *static* row
-    masks — the array never changes shape, so no reshape ever produces a
-    tiny sublane/lane dimension (which TPU tiling would pad up to 64x).
+    Rows are sliced out once, all five rounds run as pure elementwise ops
+    on the 32 row values (row i pairs with row i^sh), and the result is
+    stacked once at the end.  No rolls, no reshapes, no gathers — the
+    whole thing is a fusable elementwise dataflow over (batch, W) slabs.
     """
-    nrows = x.shape[axis]
-    assert nrows == GROUP
-    row_idx = np.arange(GROUP)
+    assert x.shape[axis] == GROUP
+    idx = [slice(None)] * x.ndim
+    rows = []
+    for i in range(GROUP):
+        idx[axis] = i
+        rows.append(x[tuple(idx)])
     for mask, sh in zip(_MASKS, _SHIFTS):
-        up = jnp.roll(x, -sh, axis=axis)     # row i+sh at position i
-        down = jnp.roll(x, sh, axis=axis)    # row i-sh at position i
-        # a-rows ((i & sh) == 0): partner below; b-rows: partner above
-        t_a = ((x >> np.uint32(sh)) ^ up) & mask
-        t_b = ((down >> np.uint32(sh)) ^ x) & mask
-        is_b = (row_idx & sh) != 0
-        shape = [1] * x.ndim
-        shape[axis] = GROUP
-        is_b = jnp.asarray(is_b.reshape(shape))
-        x = jnp.where(is_b, x ^ t_b, x ^ (t_a << np.uint32(sh)))
-    return x
+        for i in range(GROUP):
+            if i & sh:
+                continue
+            a, b = rows[i], rows[i | sh]
+            t = ((a >> np.uint32(sh)) ^ b) & mask
+            rows[i] = a ^ (t << np.uint32(sh))
+            rows[i | sh] = b ^ t
+    return jnp.stack(rows, axis=axis)
 
 
 def transpose32_mid(x: jax.Array) -> jax.Array:
