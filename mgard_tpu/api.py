@@ -160,8 +160,9 @@ def decompress(buf: bytes) -> np.ndarray:
     if header.roi_block:
         from .models.roi import decompress_roi
         return decompress_roi(header, sections)
-    from .config import Decomposition
-    cfg = Config(decomposition=Decomposition(header.decomposition))
+    from .config import Decomposition, Layout
+    cfg = Config(decomposition=Decomposition(header.decomposition),
+                 layout=Layout(header.layout))
     comp = get_compressor(header.shape, header.dtype, s=header.s,
                           coordinates=header.coordinates, config=cfg)
     return comp.decompress_parsed(header, sections)

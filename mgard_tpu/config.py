@@ -24,6 +24,13 @@ class Decomposition(enum.IntEnum):
     # HYBRID reserved
 
 
+class Layout(enum.IntEnum):
+    """Quantized-coefficient stream layout."""
+    FINE = 0          # fine-grid physical order (reference reorder=0);
+                      # decode is one even reshape + stride-2 slices
+    LEVEL_BLOCKS = 1  # region-blocked level-major (reference reorder=1)
+
+
 class ErrorMode(enum.IntEnum):
     ABS = 0
     REL = 1
@@ -33,6 +40,7 @@ class ErrorMode(enum.IntEnum):
 class Config:
     lossless: Lossless = Lossless.BITPLANE
     decomposition: Decomposition = Decomposition.MULTIDIM
+    layout: Layout = Layout.FINE
     zstd_level: int = 1
     # Threshold (bytes of input) above which compress() splits the domain
     # into blocks (reference DomainDecomposer triggers on the device-memory

@@ -61,6 +61,9 @@ class Header:
     dd_nblocks: int = 0
     # Decomposition type (config.Decomposition): 0 MultiDim, 1 SingleDim
     decomposition: int = 0
+    # Coefficient stream layout: 0 = fine-grid physical order (reference
+    # reorder=0; decode-friendly), 1 = region-blocked level-major.
+    layout: int = 0
     # CRC32 of each payload section (integrity check on decode, same role
     # as the reference's header CRC but extended to the payload).
     section_crcs: Tuple[int, ...] = ()
@@ -82,7 +85,7 @@ class Header:
         out += struct.pack("<HBH", self.roi_block, self.roi_l_th,
                            self.roi_scalar)
         out += struct.pack("<BI", self.dd_dim, self.dd_nblocks)
-        out += struct.pack("<B", self.decomposition)
+        out += struct.pack("<BB", self.decomposition, self.layout)
         out += struct.pack("<B", len(self.section_sizes))
         out += struct.pack(f"<{len(self.section_sizes)}Q",
                            *self.section_sizes)
@@ -115,7 +118,7 @@ class Header:
         lossless, n_levels = take("<BB")
         roi_block, roi_l_th, roi_scalar = take("<HBH")
         dd_dim, dd_nblocks = take("<BI")
-        (decomposition,) = take("<B")
+        decomposition, layout = take("<BB")
         (nsec,) = take("<B")
         section_sizes = take(f"<{nsec}Q")
         section_crcs = take(f"<{nsec}I")
@@ -127,7 +130,7 @@ class Header:
                    roi_block=roi_block, roi_l_th=roi_l_th,
                    roi_scalar=roi_scalar, dd_dim=dd_dim,
                    dd_nblocks=dd_nblocks, decomposition=decomposition,
-                   section_crcs=tuple(section_crcs))
+                   layout=layout, section_crcs=tuple(section_crcs))
 
 
 def write_container(header: Header, sections: List[bytes]) -> bytes:

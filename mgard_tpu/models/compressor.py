@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import Config, Decomposition, ErrorMode, Lossless
+from ..config import Config, Decomposition, ErrorMode, Layout, Lossless
 from ..hierarchy import Hierarchy
 from ..io import format as fmt
 from ..ops import bitplane, transform
@@ -76,6 +76,11 @@ class Compressor:
             scaled = flatf * inv_q
             flat = jnp.trunc(jnp.copysign(0.5 + jnp.abs(scaled), scaled)
                              ).astype(jnp.int32)
+        elif self.config.layout == Layout.FINE:
+            from ..ops.quantize import quantize_pyramid
+            pyr = transform.decompose(hier, v)
+            qpyr = quantize_pyramid(hier, pyr, self.s, tol)
+            flat = transform.pyramid_to_fine(hier, qpyr).reshape(-1)
         else:
             pyr = transform.decompose(hier, v)
             blocks = transform.pyramid_to_blocks(hier, pyr)
@@ -103,13 +108,20 @@ class Compressor:
                 flatf = flat.astype(self.dtype) * q
                 coarse, slabs = sd.unflatten_slabs(hier, flatf)
                 return sd.recompose_sd(hier, coarse, slabs)
+            if self.config.layout == Layout.FINE:
+                from ..ops.quantize import dequantize_pyramid
+                fine = flat.reshape(hier.shape)
+                qpyr = transform.fine_to_pyramid(hier, fine)
+                pyr = dequantize_pyramid(hier, qpyr, self.s, tol,
+                                         self.dtype)
+                return transform.recompose(hier, pyr)
             sizes = _block_sizes(hier)
             specs = transform.block_specs(hier)
             qblocks = []
             off = 0
             for size, (_, _, bs, _) in zip(sizes, specs):
-                qblocks.append(jax.lax.dynamic_slice_in_dim(
-                    flat, off, size).reshape(bs))
+                qblocks.append(jax.lax.slice_in_dim(
+                    flat, off, off + size).reshape(bs))
                 off += size
             blocks = dequantize_blocks(hier, qblocks, self.s, tol,
                                        self.dtype)
@@ -168,7 +180,8 @@ class Compressor:
             error_mode=int(mode), s=self.s, tolerance=abs_tol, norm=norm,
             lossless=int(lossless), n_levels=self.hier.L,
             section_sizes=(),
-            decomposition=int(self.config.decomposition))
+            decomposition=int(self.config.decomposition),
+            layout=int(self.config.layout))
         return fmt.write_container(header, [exp_bytes, word_bytes])
 
     def decompress(self, buf: bytes) -> np.ndarray:
@@ -210,9 +223,10 @@ def _cached_compressor(shape: Tuple[int, ...], dtype_str: str, s: float,
     coords = None if coords_key is None else [
         np.asarray(c) for c in coords_key]
     hier = Hierarchy(shape, coordinates=coords)
-    lossless, zstd_level, decomposition = config_key
+    lossless, zstd_level, decomposition, layout = config_key
     cfg = Config(lossless=Lossless(lossless), zstd_level=zstd_level,
-                 decomposition=Decomposition(decomposition))
+                 decomposition=Decomposition(decomposition),
+                 layout=Layout(layout))
     return Compressor(hier, np.dtype(dtype_str), s=s, config=cfg)
 
 
@@ -226,4 +240,5 @@ def get_compressor(shape, dtype, s: float = math.inf, coordinates=None,
     return _cached_compressor(
         tuple(int(x) for x in shape), np.dtype(dtype).str, float(s),
         coords_key,
-        (int(cfg.lossless), cfg.zstd_level, int(cfg.decomposition)))
+        (int(cfg.lossless), cfg.zstd_level, int(cfg.decomposition),
+         int(cfg.layout)))

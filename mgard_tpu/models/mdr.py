@@ -128,8 +128,8 @@ def _level_unflat(hier: Hierarchy, flats: Sequence[jax.Array]):
     blocks = []
     for (l, r, bs, pos) in specs:
         size = int(np.prod(bs))
-        blocks.append(jax.lax.dynamic_slice_in_dim(
-            flats[l], offs[l], size).reshape(bs))
+        blocks.append(jax.lax.slice_in_dim(
+            flats[l], offs[l], offs[l] + size).reshape(bs))
         offs[l] += size
     return transform.blocks_to_pyramid(hier, blocks)
 

@@ -224,8 +224,8 @@ def decompress_roi(header, sections) -> np.ndarray:
         qb, off = [], 0
         for (_, _, bs, _) in specs:
             size = int(np.prod(bs))
-            qb.append(jax.lax.dynamic_slice_in_dim(
-                flat, off, size).reshape(bs))
+            qb.append(jax.lax.slice_in_dim(
+                flat, off, off + size).reshape(bs))
             off += size
         mblocks = _map_blocks(hier, umap)
         blocks = dequantize_blocks_roi(

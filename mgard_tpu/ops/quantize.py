@@ -34,6 +34,7 @@ from .transform import block_specs
 
 __all__ = [
     "quantize_blocks", "dequantize_blocks", "supremum_quantum",
+    "quantize_pyramid", "dequantize_pyramid",
 ]
 
 
@@ -62,6 +63,59 @@ def _broadcast_outer(weights: Sequence[np.ndarray], dtype) -> List[jax.Array]:
         shp = [1] * nd
         shp[d] = len(w)
         out.append(jnp.asarray(w, dtype=dtype).reshape(shp))
+    return out
+
+
+def _level_weight_vectors(hier: Hierarchy, l: int):
+    """Full per-dim sqrt-volume vectors over the level-l grid.  Valid for
+    every node of the grid; parent positions of a detail array are zero so
+    the (wrong-level) weight there multiplies zero harmlessly."""
+    out = []
+    for d in range(hier.ndim):
+        if hier.shape[d] == 1:
+            out.append(np.ones(1, dtype=np.float64))
+        else:
+            out.append(np.sqrt(hier.dims[d][l].volumes))
+    return out
+
+
+def quantize_pyramid(hier: Hierarchy, pyramid, s: float, tol,
+                     int_dtype=jnp.int32):
+    """Quantize dense pyramid levels in place (rank-1 quanta per level).
+
+    Same formulas as :func:`quantize_blocks`, applied to the dense level
+    arrays; the result feeds ``transform.pyramid_to_fine`` for the
+    physical-order stream layout."""
+    tol = jnp.asarray(tol)
+    out = []
+    for l, blk in enumerate(pyramid):
+        dt = blk.dtype
+        if math.isinf(s):
+            scaled = blk * (1.0 / supremum_quantum(hier, tol).astype(dt))
+        else:
+            scale = (2.0 ** (s * l)) * math.sqrt(hier.ndof()) / (2.0 * tol)
+            scaled = blk * scale.astype(dt)
+            for w in _broadcast_outer(_level_weight_vectors(hier, l), dt):
+                scaled = scaled * w
+        q = jnp.trunc(jnp.copysign(0.5 + jnp.abs(scaled), scaled))
+        out.append(q.astype(int_dtype))
+    return out
+
+
+def dequantize_pyramid(hier: Hierarchy, qpyramid, s: float, tol, dtype):
+    tol = jnp.asarray(tol)
+    out = []
+    for l, q in enumerate(qpyramid):
+        c = q.astype(dtype)
+        if math.isinf(s):
+            c = c * supremum_quantum(hier, tol).astype(dtype)
+        else:
+            scale = (2.0 * tol) / ((2.0 ** (s * l)) * math.sqrt(hier.ndof()))
+            c = c * scale.astype(dtype)
+            for w in _broadcast_outer(_level_weight_vectors(hier, l),
+                                      dtype):
+                c = c / w
+        out.append(c)
     return out
 
 

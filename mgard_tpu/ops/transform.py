@@ -34,7 +34,7 @@ from .tridiag import mass_apply, mass_solve
 
 __all__ = [
     "decompose", "recompose", "flatten_pyramid", "unflatten_pyramid",
-    "block_specs",
+    "block_specs", "pyramid_to_fine", "fine_to_pyramid",
 ]
 
 
@@ -67,11 +67,6 @@ def prolong(c: jax.Array, lev: DimLevel, axis: int) -> jax.Array:
     dt = c.dtype
     nc = c.shape[axis]
     if lev.coarse_is_stride2:
-        if axis >= c.ndim - 1 and c.ndim > 1:
-            # keep the size-2 stack dim out of the lane position (see
-            # _interleave_dim)
-            return jnp.moveaxis(
-                prolong(jnp.moveaxis(c, axis, 0), lev, 0), 0, axis)
         r = jnp.asarray(lev.new_ratio, dtype=dt)
         shp = [1] * c.ndim
         shp[axis] = nc - 1
@@ -79,16 +74,13 @@ def prolong(c: jax.Array, lev: DimLevel, axis: int) -> jax.Array:
         lo = jax.lax.slice_in_dim(c, 0, nc - 1, axis=axis)
         hi = jax.lax.slice_in_dim(c, 1, nc, axis=axis)
         mid = (1 - r) * lo + r * hi
-        # Interleave c (nc values) with mid (nc-1 values) along `axis`.
-        pad = [(0, 0, 0)] * c.ndim
-        pad[axis] = (0, 1, 0)
+        # Interleave via interior padding (see _interleave_dim).
         zero = jnp.zeros((), dtype=dt)
-        mid_p = jax.lax.pad(mid, zero, pad)              # (..., nc, ...)
-        stacked = jnp.stack([c, mid_p], axis=axis + 1)   # (..., nc, 2, ...)
-        out_shape = list(c.shape)
-        out_shape[axis] = 2 * nc
-        out = stacked.reshape(out_shape)
-        return jax.lax.slice_in_dim(out, 0, lev.n, axis=axis)
+        cfg_c = [(0, 0, 0)] * c.ndim
+        cfg_c[axis] = (0, 0, 1)
+        cfg_m = [(0, 0, 0)] * c.ndim
+        cfg_m[axis] = (1, 1, 1)
+        return jax.lax.pad(c, zero, cfg_c) + jax.lax.pad(mid, zero, cfg_m)
     # General (non-dyadic) path: one gather with per-node parents/weights.
     la = np.zeros(lev.n, dtype=np.int64)
     ra = np.zeros(lev.n, dtype=np.int64)
@@ -287,6 +279,54 @@ def _region_slice(A, positions):
     return out
 
 
+def _embed_old(hier: Hierarchy, A: jax.Array, l: int) -> jax.Array:
+    """Place a level-(l-1) dense array at the parent positions of the
+    level-l grid, zeros elsewhere (stride-2 via interior padding; general
+    positions via a static scatter at the non-dyadic top)."""
+    for d in _level_dims(hier, l):
+        lev = hier.dims[d][l]
+        zero = jnp.zeros((), dtype=A.dtype)
+        if lev.coarse_is_stride2:
+            cfg = [(0, 0, 0)] * A.ndim
+            cfg[d] = (0, 0, 1)
+            A = jax.lax.pad(A, zero, cfg)
+        else:
+            shp = list(A.shape)
+            shp[d] = lev.n
+            out = jnp.zeros(shp, dtype=A.dtype)
+            idx = [slice(None)] * A.ndim
+            idx[d] = np.asarray(lev.coarse_pos)
+            A = out.at[tuple(idx)].set(A)
+    return A
+
+
+def pyramid_to_fine(hier: Hierarchy, pyramid: Sequence[jax.Array]) -> jax.Array:
+    """Assemble the pyramid into one fine-grid array in physical order:
+    every node holds its own multilevel coefficient (the reference's
+    in-place layout / MGARD-X ``reorder=0``).  All stride-2 interior pads;
+    the decode side needs just one (even-shaped) reshape."""
+    A = pyramid[0]
+    for l in range(1, hier.L + 1):
+        A = pyramid[l] + _embed_old(hier, A, l)
+    return A
+
+
+def _zero_old(hier: Hierarchy, D: jax.Array, l: int) -> jax.Array:
+    """Zero the parent positions of a dense level-l array."""
+    return D - _embed_old(hier, _extract_old_all(hier, D, l), l)
+
+
+def fine_to_pyramid(hier: Hierarchy, fine: jax.Array) -> List[jax.Array]:
+    """Inverse of :func:`pyramid_to_fine`."""
+    out: List[jax.Array] = [None] * (hier.L + 1)
+    A = fine
+    for l in range(hier.L, 0, -1):
+        out[l] = _zero_old(hier, A, l)
+        A = _extract_old_all(hier, A, l)
+    out[0] = A
+    return out
+
+
 def pyramid_to_blocks(hier: Hierarchy, pyramid: Sequence[jax.Array]):
     """Extract the dense (level, region) coefficient blocks, in
     serialization order (see :func:`block_specs`)."""
@@ -309,19 +349,17 @@ def _interleave_dim(old: jax.Array, new: jax.Array, lev: DimLevel,
     dt = old.dtype
     nc = old.shape[axis]
     if lev.coarse_is_stride2:
-        if axis >= old.ndim - 1 and old.ndim > 1:
-            out = _interleave_dim(jnp.moveaxis(old, axis, 0),
-                                  jnp.moveaxis(new, axis, 0), lev, 0)
-            return jnp.moveaxis(out, 0, axis)
-        pad = [(0, 0, 0)] * old.ndim
-        pad[axis] = (0, 1, 0)
+        # XLA interior padding places values at even/odd positions
+        # directly — no stacked size-2 dimension for layout assignment to
+        # mis-tile (a (..., 2, ...) copy once cost a 64x-padded 34 GB temp
+        # at 512^3).
         zero = jnp.zeros((), dtype=dt)
-        new_p = jax.lax.pad(new, zero, pad)            # (..., nc, ...)
-        stacked = jnp.stack([old, new_p], axis=axis + 1)
-        shp = list(old.shape)
-        shp[axis] = 2 * nc
-        out = stacked.reshape(shp)
-        return jax.lax.slice_in_dim(out, 0, lev.n, axis=axis)
+        cfg_old = [(0, 0, 0)] * old.ndim
+        cfg_old[axis] = (0, 0, 1)          # old -> even positions, len 2nc-1
+        cfg_new = [(0, 0, 0)] * old.ndim
+        cfg_new[axis] = (1, 1, 1)          # new -> odd positions, len 2nc-1
+        return jax.lax.pad(old, zero, cfg_old) + \
+            jax.lax.pad(new, zero, cfg_new)
     shp = list(old.shape)
     shp[axis] = lev.n
     out = jnp.zeros(shp, dtype=dt)
@@ -389,6 +427,6 @@ def unflatten_pyramid(hier: Hierarchy, flat: jax.Array) -> List[jax.Array]:
     offset = 0
     for (l, r, bshape, pos) in block_specs(hier):
         size = int(np.prod(bshape))
-        blocks.append(jax.lax.dynamic_slice_in_dim(flat, offset, size))
+        blocks.append(jax.lax.slice_in_dim(flat, offset, offset + size))
         offset += size
     return blocks_to_pyramid(hier, blocks)

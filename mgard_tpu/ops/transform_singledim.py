@@ -108,7 +108,7 @@ def unflatten_slabs(hier: Hierarchy, flat: jax.Array):
     off = 0
     for (l, d, shape) in specs:
         size = int(np.prod(shape))
-        blk = jax.lax.dynamic_slice_in_dim(flat, off, size).reshape(shape)
+        blk = jax.lax.slice_in_dim(flat, off, off + size).reshape(shape)
         off += size
         if l == 0:
             coarse = blk

@@ -69,8 +69,8 @@ class ShardedCompressor:
             off = 0
             for (_, _, bs, _) in specs:
                 size = int(np.prod(bs))
-                qb.append(jax.lax.dynamic_slice_in_dim(
-                    flat, off, size).reshape(bs))
+                qb.append(jax.lax.slice_in_dim(
+                    flat, off, off + size).reshape(bs))
                 off += size
             blocks = dequantize_blocks(hier, qb, s_, tol, self.dtype)
             return transform.recompose(

@@ -103,8 +103,8 @@ def main(edge=512):
         qb, off = [], 0
         for (_, _, bs, _) in specs:
             size = int(np.prod(bs))
-            qb.append(jax.lax.dynamic_slice_in_dim(
-                flat, off, size).reshape(bs))
+            qb.append(jax.lax.slice_in_dim(
+                flat, off, off + size).reshape(bs))
             off += size
         blocks = dequantize_blocks(hier, qb, math.inf, tol, jnp.float32)
         pyr = transform.blocks_to_pyramid(hier, blocks)
