@@ -204,24 +204,22 @@ def encode(q: jax.Array):
     offsets = jnp.cumsum(counts) - counts
     total_rows = offsets[-1] + counts[-1]
 
-    # padded per-chunk rows: row 0 = signs; row k (1..32) = plane e-k
-    # (MSB first), as (nchunks, 33, C) with the 128-wide minor axis.
-    k = jnp.arange(1, GROUP + 1, dtype=jnp.int32)[None, :, None]
-    src_plane = jnp.clip(e[:, None, None] - k, 0, GROUP - 1)    # (nc,32,1)
-    ordered = jnp.take_along_axis(
-        planes_c, jnp.broadcast_to(src_plane, (nchunks, GROUP, C)), axis=1)
-    padded = jnp.concatenate([sign_c[:, None, :], ordered], axis=1)
-    padded = padded.reshape(nchunks * (GROUP + 1), C)
-
-    # condense rows: out_row[j] = padded[chunk(j)*(33) + j - offsets[chunk]]
+    # Condense with ONE row gather (no padded intermediate): source rows
+    # live in [sign rows (nc) | plane rows (nc*32)]; output row j of chunk
+    # `cid` at slot 0 is its sign row, slot k >= 1 is plane e_cid - k
+    # (MSB first).
+    rows2d = jnp.concatenate(
+        [sign_c, planes_c.reshape(nchunks * GROUP, C)], axis=0)
     cap_rows = nchunks * (GROUP + 1)
     marks = jnp.zeros(cap_rows + 1, dtype=jnp.int32).at[offsets].add(
         1, indices_are_sorted=True)
     cid = jnp.clip(jnp.cumsum(marks[:-1]) - 1, 0, nchunks - 1)
     j = jnp.arange(cap_rows, dtype=jnp.int32)
     slot = jnp.clip(j - offsets[cid], 0, GROUP)
-    src = cid * (GROUP + 1) + slot
-    rows = jnp.take(padded, src, axis=0)                        # (cap, C)
+    plane_idx = jnp.clip(e[cid] - slot, 0, GROUP - 1)
+    src = jnp.where(slot == 0, cid,
+                    nchunks + cid * GROUP + plane_idx)
+    rows = jnp.take(rows2d, src, axis=0)                        # (cap, C)
     rows = jnp.where((j < total_rows)[:, None], rows, np.uint32(0))
     return (e.astype(jnp.uint8), rows.reshape(-1),
             (total_rows * C).astype(jnp.int32))
