@@ -1,0 +1,119 @@
+"""Unstructured-mesh subsystem tests (reference tests/src/unstructured/:
+test_MassMatrix, test_UniformMeshHierarchy, test_norms, test_estimators)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from mgard_tpu.unstructured import (
+    MeshLevel, UniformMeshHierarchy, compress, decompress, refine_uniform,
+    structured_tet_mesh, structured_triangle_mesh)
+
+
+def _reference_triangle():
+    nodes = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    return MeshLevel(nodes=nodes, elements=np.array([[0, 1, 2]]))
+
+
+def test_mass_matrix_reference_triangle():
+    """P1 mass matrix of the unit triangle is A/12 * (ones + I)."""
+    mesh = _reference_triangle()
+    A = 0.5
+    M = np.array([[mesh.mass_matvec(np.eye(3)[i])[j]
+                   for j in range(3)] for i in range(3)])
+    expected = A / 12.0 * (np.ones((3, 3)) + np.eye(3))
+    np.testing.assert_allclose(M, expected, rtol=1e-12)
+    np.testing.assert_allclose(mesh.mass_diagonal(), np.diag(expected),
+                               rtol=1e-12)
+
+
+def test_mass_matrix_tet():
+    nodes = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1.0]])
+    mesh = MeshLevel(nodes=nodes, elements=np.array([[0, 1, 2, 3]]))
+    V = 1.0 / 6
+    M = np.array([[mesh.mass_matvec(np.eye(4)[i])[j]
+                   for j in range(4)] for i in range(4)])
+    expected = V / 20.0 * (np.ones((4, 4)) + np.eye(4))
+    np.testing.assert_allclose(M, expected, rtol=1e-12)
+
+
+def test_refine_preserves_total_measure():
+    for root in (structured_triangle_mesh(3, 3),
+                 structured_tet_mesh((2, 2, 2))):
+        fine = refine_uniform(root)
+        assert fine.ndof > root.ndof
+        np.testing.assert_allclose(fine.measures.sum(),
+                                   root.measures.sum(), rtol=1e-12)
+        # old node coordinates preserved in place
+        np.testing.assert_array_equal(fine.nodes[:root.ndof], root.nodes)
+        # midpoints match their parents
+        mids = fine.nodes[root.ndof:]
+        ep = fine.edge_parents
+        np.testing.assert_allclose(
+            mids, 0.5 * (root.nodes[ep[:, 0]] + root.nodes[ep[:, 1]]))
+
+
+def test_decompose_of_linear_function_has_zero_details():
+    """Interpolation is exact for affine functions, so all detail
+    coefficients vanish (the projection keeps the level-0 part)."""
+    hier = UniformMeshHierarchy(structured_triangle_mesh(3, 3), 2)
+    fine = hier.meshes[-1]
+    u = 2.0 * fine.nodes[:, 0] - 0.5 * fine.nodes[:, 1] + 1.0
+    coeffs = np.asarray(hier.decompose(u))
+    assert np.max(np.abs(coeffs[hier.ndof(0):])) < 1e-8
+
+
+@pytest.mark.parametrize("builder,L", [
+    (lambda: structured_triangle_mesh(3, 3), 2),
+    (lambda: structured_tet_mesh((2, 2, 2)), 1),
+])
+def test_decompose_recompose_roundtrip(builder, L):
+    hier = UniformMeshHierarchy(builder(), L)
+    rng = np.random.default_rng(7)
+    u = rng.standard_normal(hier.ndof())
+    out = np.asarray(hier.recompose(hier.decompose(u)))
+    np.testing.assert_allclose(out, u, atol=1e-7)
+
+
+def test_norms_basic():
+    hier = UniformMeshHierarchy(structured_triangle_mesh(3, 3), 2)
+    u = np.ones(hier.ndof())
+    # ||1||_L2 over the unit square is 1
+    assert abs(hier.norm(u, 0.0) - 1.0) < 1e-9
+    assert hier.norm(u, math.inf) == 1.0
+    # s-norm of a constant equals its L2 norm (all details vanish)
+    assert abs(hier.norm(u, 0.5) - 1.0) < 1e-7
+
+
+def test_estimator_reliability():
+    """norm(u, s) <= reliability-scaled estimator of the coefficients
+    (reference estimators.cpp contract)."""
+    hier = UniformMeshHierarchy(structured_triangle_mesh(3, 3), 2)
+    rng = np.random.default_rng(3)
+    u = rng.standard_normal(hier.ndof())
+    s = 0.5
+    est = hier.estimator(hier.decompose(u), s)
+    realism, reliability = hier.estimator_bounds(s)
+    norm = hier.norm(u, s)
+    assert norm <= reliability * est / math.sqrt(realism) * 1.0001
+    assert est > 0
+
+
+@pytest.mark.parametrize("s,tol", [(0.0, 0.1), (0.0, 0.01), (1.0, 0.05)])
+def test_compress_error_bound(s, tol):
+    hier = UniformMeshHierarchy(structured_triangle_mesh(3, 3), 2)
+    fine = hier.meshes[-1]
+    x, y = fine.nodes[:, 0], fine.nodes[:, 1]
+    u = np.sin(3 * x) * np.cos(2 * y) + 0.3 * x * y
+    buf = compress(hier, u, s=s, tolerance=tol)
+    out = decompress(hier, buf)
+    err = hier.norm(u - out, s)
+    assert err <= tol, (err, tol)
+    assert len(buf) < u.nbytes
+
+
+def test_compress_rejects_linf():
+    hier = UniformMeshHierarchy(structured_triangle_mesh(3, 3), 1)
+    with pytest.raises(ValueError):
+        compress(hier, np.zeros(hier.ndof()), s=math.inf, tolerance=0.1)
