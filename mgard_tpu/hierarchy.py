@@ -58,6 +58,13 @@ class DimLevel:
     # True iff coarse_pos == 2*arange(n_coarse) and n == 2*n_coarse - 1
     # (enables the strided fast path in the transform kernels).
     coarse_is_stride2: bool
+    # Front-interleaved non-dyadic structure: the first 2*(front_nc-1)+1
+    # positions alternate coarse/new (starting and ending coarse) and the
+    # remaining tail positions are all coarse.  Set when coarse_pos matches
+    # [0, 2, ..., 2*nn, 2*nn+1, ..., n-1] with nn = n - n_coarse new nodes;
+    # None otherwise.  Enables slice+concat fast paths (no gathers) in the
+    # transform kernels for arbitrary (non 2^k+1) sizes.
+    front_nc: Optional[int]
     # Coordinates of this level's nodes (subset of the finest coordinates).
     x: np.ndarray  # (n,) float64
     # Spacings h[j] = x[j+1] - x[j].  (n-1,)
@@ -90,6 +97,7 @@ def _build_dim_level(x_fine: np.ndarray, fine_indices: np.ndarray,
 
     coarse_pos = None
     coarse_is_stride2 = False
+    front_nc = None
     new_pos = new_left = new_right = new_ratio = None
     if coarse_fine_indices is not None:
         nc = len(coarse_fine_indices)
@@ -99,6 +107,14 @@ def _build_dim_level(x_fine: np.ndarray, fine_indices: np.ndarray,
             raise AssertionError("hierarchy levels are not nested")
         coarse_is_stride2 = (n == 2 * nc - 1) and np.array_equal(
             coarse_pos, 2 * np.arange(nc))
+        if not coarse_is_stride2:
+            nn = n - nc
+            if 0 < nn and 2 * nn + 1 <= n:
+                pattern = np.concatenate([
+                    np.arange(0, 2 * nn + 1, 2),
+                    np.arange(2 * nn + 1, n)])
+                if np.array_equal(coarse_pos, pattern):
+                    front_nc = nn + 1
         is_old = np.zeros(n, dtype=bool)
         is_old[coarse_pos] = True
         new_pos = np.nonzero(~is_old)[0].astype(np.int64)
@@ -136,7 +152,7 @@ def _build_dim_level(x_fine: np.ndarray, fine_indices: np.ndarray,
 
     return DimLevel(
         n=n, fine_indices=fine_indices, coarse_pos=coarse_pos,
-        coarse_is_stride2=coarse_is_stride2, x=x, h=h,
+        coarse_is_stride2=coarse_is_stride2, front_nc=front_nc, x=x, h=h,
         new_pos=new_pos, new_left=new_left, new_right=new_right,
         new_ratio=new_ratio, divisors=divisors, offdiag=offdiag,
         volumes=volumes)
@@ -153,7 +169,21 @@ class Hierarchy:
     """
 
     def __init__(self, shape: Sequence[int],
-                 coordinates: Optional[Sequence[np.ndarray]] = None):
+                 coordinates: Optional[Sequence[np.ndarray]] = None,
+                 placement: str = "tpu"):
+        """``placement`` picks which nodes the non-dyadic level refines:
+
+        * ``"tpu"`` (default): new nodes at odd positions ``1..2*nn-1``
+          ("front-interleaved") so every transform op is a strided slice
+          plus a contiguous tail — no gathers/scatters on the finest
+          (largest) level.  Level shapes and error bounds are identical.
+        * ``"reference"``: the reference node sets
+          ``j*(n_fine-1)//(n_l-1)`` (TensorMeshHierarchy.tpp:99-119),
+          needed for bit-exact interop with reference-produced streams.
+        """
+        if placement not in ("tpu", "reference"):
+            raise ValueError(f"unknown placement {placement!r}")
+        self.placement = placement
         shape = tuple(int(s) for s in shape)
         if any(s < 1 for s in shape):
             raise ValueError("every dimension must have size >= 1")
@@ -204,22 +234,43 @@ class Hierarchy:
             cur = [1 if n == 1 else (n - 1) * 2 + 1 for n in cur]
         self.shapes: Tuple[Tuple[int, ...], ...] = tuple(shapes)
 
-        # --- per-dim per-level fine-grid index sets (reference :99-119) ---
-        # indices[d][l][j] = j * (SHAPE[d]-1) // (n_l - 1)
+        # --- per-dim per-level fine-grid index sets ---
+        # reference placement: indices[d][l][j] = j * (SHAPE[d]-1) // (n_l-1)
+        # tpu placement: derived finest->coarsest; the non-dyadic step keeps
+        # [0, 2, .., 2*nn, 2*nn+1, .., n-1] (front-interleaved), dyadic
+        # steps keep every other node.
         self._fine_indices = []
         for d in range(self.ndim):
-            per_level = []
             numerator = shape[d] - 1
-            for l in range(self.L + 1):
-                n = self.shapes[l][d]
-                if numerator == 0 or n == 1:
-                    idx = np.zeros(max(n, 1), dtype=np.int64)[:n]
-                    if n == 0:
-                        idx = np.zeros(1, dtype=np.int64)
-                else:
-                    j = np.arange(n, dtype=np.int64)
-                    idx = (j * numerator) // (n - 1)
-                per_level.append(idx)
+            if placement == "reference":
+                per_level = []
+                for l in range(self.L + 1):
+                    n = self.shapes[l][d]
+                    if numerator == 0 or n == 1:
+                        idx = np.zeros(max(n, 1), dtype=np.int64)[:n]
+                        if n == 0:
+                            idx = np.zeros(1, dtype=np.int64)
+                    else:
+                        j = np.arange(n, dtype=np.int64)
+                        idx = (j * numerator) // (n - 1)
+                    per_level.append(idx)
+            else:
+                per_level = [None] * (self.L + 1)
+                per_level[self.L] = np.arange(shape[d], dtype=np.int64)
+                for l in range(self.L, 0, -1):
+                    cur = per_level[l]
+                    ncur = len(cur)
+                    ntgt = self.shapes[l - 1][d]
+                    if ncur == ntgt:
+                        per_level[l - 1] = cur
+                    elif 2 * ntgt - 1 == ncur:
+                        per_level[l - 1] = cur[::2]
+                    else:
+                        nn = ncur - ntgt
+                        pos = np.concatenate([
+                            np.arange(0, 2 * nn + 1, 2),
+                            np.arange(2 * nn + 1, ncur)])
+                        per_level[l - 1] = cur[pos]
             self._fine_indices.append(per_level)
 
         # --- per-dim dates of birth on the finest grid ---

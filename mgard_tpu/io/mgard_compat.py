@@ -208,7 +208,8 @@ def compress_mgard(data: np.ndarray, tolerance: float, s: float = math.inf,
     from .huffman_native import huffman_encode
 
     data = np.asarray(data)
-    hier = Hierarchy(data.shape, coordinates=coordinates)
+    hier = Hierarchy(data.shape, coordinates=coordinates,
+                     placement="reference")
     flat = _pyramid_coeffs_block_order(hier, data).astype(np.float64)
     perm, quanta = _quanta_shuffled(hier, s, tolerance)
     shuffled = flat[perm]
@@ -294,7 +295,8 @@ def decompress_mgard(buf: bytes) -> np.ndarray:
     if header["quantization"].get("type", 3) != 3:
         raise NotImplementedError("only INT64_T quantization supported")
 
-    hier = Hierarchy(shape, coordinates=coordinates)
+    hier = Hierarchy(shape, coordinates=coordinates,
+                     placement="reference")
     ndof = hier.ndof()
 
     if compressor == CPU_HUFFMAN_ZSTD:

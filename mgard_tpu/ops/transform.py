@@ -46,12 +46,26 @@ def _take(v, idx: np.ndarray, axis: int):
     return jnp.take(v, jnp.asarray(idx), axis=axis)
 
 
+def _split_front(v: jax.Array, lev: DimLevel, axis: int):
+    """Split a dense level array into its interleaved front (odd length
+    ``2*front_nc - 1``) and all-coarse tail along ``axis``."""
+    f = 2 * lev.front_nc - 1
+    front = jax.lax.slice_in_dim(v, 0, f, axis=axis)
+    tail = jax.lax.slice_in_dim(v, f, lev.n, axis=axis)
+    return front, tail
+
+
 def extract_old(v: jax.Array, lev: DimLevel, axis: int) -> jax.Array:
     """Restrict a dense level array to the parent level's nodes along axis."""
     if lev.coarse_pos is None:
         return v
     if lev.coarse_is_stride2:
         return jax.lax.slice_in_dim(v, 0, lev.n, stride=2, axis=axis)
+    if lev.front_nc is not None:
+        f = 2 * lev.front_nc - 1
+        front = jax.lax.slice_in_dim(v, 0, f, stride=2, axis=axis)
+        tail = jax.lax.slice_in_dim(v, f, lev.n, axis=axis)
+        return jnp.concatenate([front, tail], axis=axis)
     return _take(v, lev.coarse_pos, axis=axis)
 
 
@@ -66,13 +80,15 @@ def prolong(c: jax.Array, lev: DimLevel, axis: int) -> jax.Array:
         return c
     dt = c.dtype
     nc = c.shape[axis]
-    if lev.coarse_is_stride2:
+    if lev.coarse_is_stride2 or lev.front_nc is not None:
+        fc = nc if lev.coarse_is_stride2 else lev.front_nc
+        cf = c if fc == nc else jax.lax.slice_in_dim(c, 0, fc, axis=axis)
         r = jnp.asarray(lev.new_ratio, dtype=dt)
         shp = [1] * c.ndim
-        shp[axis] = nc - 1
+        shp[axis] = fc - 1
         r = r.reshape(shp)
-        lo = jax.lax.slice_in_dim(c, 0, nc - 1, axis=axis)
-        hi = jax.lax.slice_in_dim(c, 1, nc, axis=axis)
+        lo = jax.lax.slice_in_dim(cf, 0, fc - 1, axis=axis)
+        hi = jax.lax.slice_in_dim(cf, 1, fc, axis=axis)
         mid = (1 - r) * lo + r * hi
         # Interleave via interior padding (see _interleave_dim).
         zero = jnp.zeros((), dtype=dt)
@@ -80,7 +96,11 @@ def prolong(c: jax.Array, lev: DimLevel, axis: int) -> jax.Array:
         cfg_c[axis] = (0, 0, 1)
         cfg_m = [(0, 0, 0)] * c.ndim
         cfg_m[axis] = (1, 1, 1)
-        return jax.lax.pad(c, zero, cfg_c) + jax.lax.pad(mid, zero, cfg_m)
+        front = jax.lax.pad(cf, zero, cfg_c) + jax.lax.pad(mid, zero, cfg_m)
+        if fc == nc:
+            return front
+        tail = jax.lax.slice_in_dim(c, fc, nc, axis=axis)
+        return jnp.concatenate([front, tail], axis=axis)
     # General (non-dyadic) path: one gather with per-node parents/weights.
     la = np.zeros(lev.n, dtype=np.int64)
     ra = np.zeros(lev.n, dtype=np.int64)
@@ -121,6 +141,25 @@ def restrict(v: jax.Array, lev: DimLevel, axis: int) -> jax.Array:
     if lev.coarse_is_stride2:
         new = jax.lax.slice_in_dim(v, 1, lev.n, stride=2, axis=axis)
         r = lev.new_ratio  # (nc-1,)
+    elif lev.front_nc is not None:
+        # Front-interleaved: new nodes sit at odd positions 1..2*nn-1;
+        # their left/right parents are front coarse nodes j, j+1.  Tail
+        # parents receive no contributions.
+        fc = lev.front_nc
+        new = jax.lax.slice_in_dim(v, 1, 2 * fc - 1, stride=2, axis=axis)
+        rj = jnp.asarray(lev.new_ratio, dtype=dt)  # (fc-1,)
+        shp = [1] * v.ndim
+        shp[axis] = fc - 1
+        rj = rj.reshape(shp)
+        left_contrib = (1 - rj) * new
+        right_contrib = rj * new
+        zero = jnp.zeros((), dtype=dt)
+        pad_l = [(0, 0, 0)] * v.ndim
+        pad_l[axis] = (0, nc - fc + 1, 0)   # parents 0..fc-2
+        pad_r = [(0, 0, 0)] * v.ndim
+        pad_r[axis] = (1, nc - fc, 0)       # parents 1..fc-1
+        return old + jax.lax.pad(left_contrib, zero, pad_l) + jax.lax.pad(
+            right_contrib, zero, pad_r)
     else:
         new = _take(v, lev.new_pos, axis)
         # Map each new node to its parent interval; intervals without a new
@@ -180,12 +219,16 @@ def _prolong_all(hier: Hierarchy, C, l: int):
 
 
 def _correction(hier: Hierarchy, detail, l: int):
-    """M_{l-1}^{-1} R_l M_l applied to a dense level-l detail array."""
+    """M_{l-1}^{-1} R_l M_l applied to a dense level-l detail array.
+
+    Mass-apply and restriction along different dims commute (Kronecker
+    factors), so each dim is restricted immediately after its mass apply —
+    later dims then work on the already-shrunk array (roughly half the HBM
+    traffic of mass-applying every dim at full level size)."""
     B = detail
     dims = _level_dims(hier, l)
     for d in dims:
         B = mass_apply(B, hier.dims[d][l].h, d)
-    for d in dims:
         B = restrict(B, hier.dims[d][l], d)
     for d in dims:
         lev = hier.dims[d][l - 1]
@@ -290,6 +333,14 @@ def _embed_old(hier: Hierarchy, A: jax.Array, l: int) -> jax.Array:
             cfg = [(0, 0, 0)] * A.ndim
             cfg[d] = (0, 0, 1)
             A = jax.lax.pad(A, zero, cfg)
+        elif lev.front_nc is not None:
+            fc = lev.front_nc
+            nc = A.shape[d]
+            of = jax.lax.slice_in_dim(A, 0, fc, axis=d)
+            ot = jax.lax.slice_in_dim(A, fc, nc, axis=d)
+            cfg = [(0, 0, 0)] * A.ndim
+            cfg[d] = (0, 0, 1)
+            A = jnp.concatenate([jax.lax.pad(of, zero, cfg), ot], axis=d)
         else:
             shp = list(A.shape)
             shp[d] = lev.n
@@ -348,18 +399,26 @@ def _interleave_dim(old: jax.Array, new: jax.Array, lev: DimLevel,
     minor-axis merges are routed through a front-axis transpose."""
     dt = old.dtype
     nc = old.shape[axis]
-    if lev.coarse_is_stride2:
+    if lev.coarse_is_stride2 or lev.front_nc is not None:
         # XLA interior padding places values at even/odd positions
         # directly — no stacked size-2 dimension for layout assignment to
         # mis-tile (a (..., 2, ...) copy once cost a 64x-padded 34 GB temp
-        # at 512^3).
+        # at 512^3).  Front-interleaved levels interleave the front coarse
+        # slab with the new nodes and append the all-coarse tail.
+        fc = nc if lev.coarse_is_stride2 else lev.front_nc
+        of = old if fc == nc else jax.lax.slice_in_dim(
+            old, 0, fc, axis=axis)
         zero = jnp.zeros((), dtype=dt)
         cfg_old = [(0, 0, 0)] * old.ndim
-        cfg_old[axis] = (0, 0, 1)          # old -> even positions, len 2nc-1
+        cfg_old[axis] = (0, 0, 1)          # old -> even positions, len 2fc-1
         cfg_new = [(0, 0, 0)] * old.ndim
-        cfg_new[axis] = (1, 1, 1)          # new -> odd positions, len 2nc-1
-        return jax.lax.pad(old, zero, cfg_old) + \
+        cfg_new[axis] = (1, 1, 1)          # new -> odd positions, len 2fc-1
+        front = jax.lax.pad(of, zero, cfg_old) + \
             jax.lax.pad(new, zero, cfg_new)
+        if fc == nc:
+            return front
+        ot = jax.lax.slice_in_dim(old, fc, nc, axis=axis)
+        return jnp.concatenate([front, ot], axis=axis)
     shp = list(old.shape)
     shp[axis] = lev.n
     out = jnp.zeros(shp, dtype=dt)

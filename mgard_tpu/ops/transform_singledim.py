@@ -33,6 +33,9 @@ __all__ = ["decompose_sd", "recompose_sd", "slab_specs",
 def _extract_new(v, lev, axis):
     if lev.coarse_is_stride2:
         return jax.lax.slice_in_dim(v, 1, lev.n, stride=2, axis=axis)
+    if lev.front_nc is not None:
+        return jax.lax.slice_in_dim(
+            v, 1, 2 * lev.front_nc - 1, stride=2, axis=axis)
     return jnp.take(v, jnp.asarray(lev.new_pos), axis=axis)
 
 

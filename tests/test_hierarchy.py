@@ -13,12 +13,38 @@ def test_dyadic_levels_3d():
 def test_nondyadic_adds_level():
     # Reference semantics (TensorMeshHierarchy.tpp:57-78): size 6 -> dyadic
     # floor 5 (L_dyadic=2), nondyadic -> L=3.
-    h = Hierarchy((6,))
+    h = Hierarchy((6,), placement="reference")
     assert h.L == 3
     assert [s[0] for s in h.shapes] == [2, 3, 5, 6]
     np.testing.assert_array_equal(h.level_indices(2, 0), [0, 1, 2, 3, 5])
     np.testing.assert_array_equal(h.level_indices(1, 0), [0, 2, 5])
     np.testing.assert_array_equal(h.level_indices(0, 0), [0, 5])
+
+
+def test_nondyadic_tpu_placement():
+    # TPU placement: same level shapes, new nodes front-interleaved so the
+    # non-dyadic level is pure slices (front_nc set, no gather path).
+    h = Hierarchy((6,))
+    assert h.L == 3
+    assert [s[0] for s in h.shapes] == [2, 3, 5, 6]
+    np.testing.assert_array_equal(h.level_indices(2, 0), [0, 2, 3, 4, 5])
+    np.testing.assert_array_equal(h.level_indices(1, 0), [0, 3, 5])
+    np.testing.assert_array_equal(h.level_indices(0, 0), [0, 5])
+    top = h.dims[0][3]
+    assert top.front_nc == 2
+    np.testing.assert_array_equal(top.new_pos, [1])
+    lower = h.dims[0][2]
+    assert lower.coarse_is_stride2
+
+
+def test_front_interleaved_512():
+    h = Hierarchy((512,))
+    assert h.L == 9
+    top = h.dims[0][9]
+    assert top.front_nc == 256  # 255 new nodes at odd positions 1..509
+    np.testing.assert_array_equal(top.new_pos, np.arange(1, 510, 2))
+    for l in range(1, 9):
+        assert h.dims[0][l].coarse_is_stride2
 
 
 def test_mixed_flat_dims():

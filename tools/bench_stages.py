@@ -24,7 +24,8 @@ sys.path.insert(0, "/root/repo")
 from mgard_tpu.hierarchy import Hierarchy
 from mgard_tpu.models.compressor import Compressor
 from mgard_tpu.ops import bitplane, transform
-from mgard_tpu.ops.quantize import quantize_blocks, dequantize_blocks
+from mgard_tpu.ops.quantize import (quantize_blocks, dequantize_blocks,
+                                    quantize_pyramid, dequantize_pyramid)
 
 
 def sync(out):
@@ -69,10 +70,9 @@ def main(edge=512):
 
     def dqf(v):
         pyr = transform.decompose(hier, v)
-        blocks = transform.pyramid_to_blocks(hier, pyr)
-        qb = quantize_blocks(hier, blocks, math.inf, tol)
-        return jnp.concatenate([q.reshape(-1) for q in qb])
-    timed("decompose+quant+flatten", jax.jit(dqf), x)
+        qpyr = quantize_pyramid(hier, pyr, math.inf, tol)
+        return transform.pyramid_to_fine(hier, qpyr).reshape(-1)
+    timed("decompose+quant+to_fine", jax.jit(dqf), x)
 
     # bitplane stages on a realistic quantized vector
     qd = jax.jit(dqf)(x)
@@ -97,19 +97,15 @@ def main(edge=512):
           f"  group: {nbytes/bitplane.encoded_nbytes(np.asarray(eg), int(cg)):.2f}x",
           flush=True)
 
-    # unflatten + dequant + recompose (decode side of the transform)
+    # unflatten + dequant + recompose (decode side of the transform,
+    # FINE layout — the default; the LEVEL_BLOCKS unflatten stalls the
+    # compiler at 512^3 and is only used for small ratio-oriented encodes)
     def ur(flat):
-        specs = transform.block_specs(hier)
-        qb, off = [], 0
-        for (_, _, bs, _) in specs:
-            size = int(np.prod(bs))
-            qb.append(jax.lax.slice_in_dim(
-                flat, off, off + size).reshape(bs))
-            off += size
-        blocks = dequantize_blocks(hier, qb, math.inf, tol, jnp.float32)
-        pyr = transform.blocks_to_pyramid(hier, blocks)
+        fine = flat.reshape(hier.shape)
+        qpyr = transform.fine_to_pyramid(hier, fine)
+        pyr = dequantize_pyramid(hier, qpyr, math.inf, tol, jnp.float32)
         return transform.recompose(hier, pyr)
-    timed("unflat+deq+recompose", jax.jit(ur), qd)
+    timed("unfine+deq+recompose", jax.jit(ur), qd)
 
     # full pipelines
     comp = Compressor(hier, np.float32, s=math.inf)
