@@ -35,9 +35,20 @@ reference's ``OutputTooLargeFailure`` pattern for variable output).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _use_pallas() -> bool:
+    """Fused codec-core kernel on TPU (the XLA butterfly materializes every
+    round's intermediates in HBM — ~45 GB of traffic at 512^3)."""
+    flag = os.environ.get("MGARD_TPU_PALLAS_CODEC")
+    if flag is not None:
+        return flag == "1"
+    return jax.default_backend() == "tpu"
 
 __all__ = [
     "encode", "decode", "encode_pergroup", "decode_pergroup",
@@ -187,18 +198,22 @@ def encode(q: jax.Array):
     if pad:
         q = jnp.concatenate([q, jnp.zeros(pad, dtype=q.dtype)])
     qc = q.reshape(nchunks, GROUP, C)
-    m = jnp.abs(qc).astype(jnp.uint32)
-    neg = (qc < 0).astype(jnp.uint32)
+    if _use_pallas():
+        from .pallas_kernels import bp_encode_core
+        planes_c, sign_c, e = bp_encode_core(qc)
+    else:
+        m = jnp.abs(qc).astype(jnp.uint32)
+        neg = (qc < 0).astype(jnp.uint32)
 
-    planes_c = transpose32_mid(m)                    # (nc, 32, C) LSB-first
-    sign_c = jnp.zeros((nchunks, C), dtype=jnp.uint32)
-    for i in range(GROUP):
-        sign_c = sign_c | (neg[:, i, :] << np.uint32(i))
+        planes_c = transpose32_mid(m)                # (nc, 32, C) LSB-first
+        sign_c = jnp.zeros((nchunks, C), dtype=jnp.uint32)
+        for i in range(GROUP):
+            sign_c = sign_c | (neg[:, i, :] << np.uint32(i))
 
-    # per-chunk exponent: highest occupied bitplane across the chunk
-    occ = (planes_c != 0).any(axis=2)                # (nc, 32)
-    bit_idx = jnp.arange(1, GROUP + 1, dtype=jnp.int32)[None, :]
-    e = jnp.max(jnp.where(occ, bit_idx, 0), axis=1)  # (nchunks,)
+        # per-chunk exponent: highest occupied bitplane across the chunk
+        occ = (planes_c != 0).any(axis=2)            # (nc, 32)
+        bit_idx = jnp.arange(1, GROUP + 1, dtype=jnp.int32)[None, :]
+        e = jnp.max(jnp.where(occ, bit_idx, 0), axis=1)  # (nchunks,)
 
     counts = jnp.where(e > 0, e + 1, 0)              # rows per chunk
     offsets = jnp.cumsum(counts) - counts
@@ -250,6 +265,10 @@ def decode(exponents: jax.Array, words: jax.Array, n: int) -> jax.Array:
     planes_c = jnp.where(valid[:, :, None],
                          jnp.take(rows, idx_c, axis=0), np.uint32(0))
 
+    if _use_pallas():
+        from .pallas_kernels import bp_decode_core
+        out = bp_decode_core(planes_c, sign_c)
+        return out.reshape(-1)[:n]
     m = transpose32_mid(planes_c)                    # (nc, 32, C) magnitudes
     vals = m.astype(jnp.int32)
     neg_rows = []

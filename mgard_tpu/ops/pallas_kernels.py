@@ -1,11 +1,17 @@
-"""Pallas TPU kernels for the hot transform ops.
+"""Pallas TPU kernels for the hot ops.
 
-The batched tridiagonal (Thomas) solve is the transform's only
-serial-dependency op.  The XLA `lax.scan` version makes 2n tiny steps with
-the carry bouncing through HBM-visible buffers; this kernel keeps a
-(n, TILE_B) tile of right-hand sides resident in VMEM, runs the forward
-and backward recurrences in-register over the batch lanes, and touches HBM
-exactly once per element in each direction.
+Two families:
+
+* ``thomas_solve_2d`` — fused batched tridiagonal solve (kept as an
+  alternative; the default transform path now applies the correction
+  operator as a dense MXU matmul, see ops/transform.py).
+
+* ``bp_encode_core`` / ``bp_decode_core`` — the bitplane codec's 32x32
+  butterfly bit-transpose plus sign packing and per-chunk exponents, all
+  rounds resident in VMEM.  The XLA formulation of the butterfly
+  materializes every one of the ~480 intermediate (nchunks, 128) slabs in
+  HBM (~45 GB of traffic at 512^3); here each (CB, 32, 128) tile is read
+  once, transformed in registers, and written once.
 """
 
 from __future__ import annotations
@@ -102,3 +108,121 @@ def mass_solve_pallas(b: jax.Array, offdiag: np.ndarray,
     out = thomas_solve_2d(x2, w, offj, divinv, interpret=interpret)
     out = out[:, :B].reshape((n,) + batch_shape)
     return jnp.moveaxis(out, 0, axis)
+
+
+# ---------------------------------------------------------------------------
+# Bitplane codec core (see ops/bitplane.py for the stream layout)
+# ---------------------------------------------------------------------------
+
+_BP_MASKS = [np.uint32(0x0000FFFF), np.uint32(0x00FF00FF),
+             np.uint32(0x0F0F0F0F), np.uint32(0x33333333),
+             np.uint32(0x55555555)]
+_BP_SHIFTS = [16, 8, 4, 2, 1]
+# Chunks per grid step.
+# 64 fits double-buffered in+out tiles and kernel temps in 16 MB VMEM.
+BP_CB = 64
+
+
+def _butterfly_rows(rows):
+    """5-round 32x32 bit-matrix transpose on a list of 32 equal-shape
+    uint32 arrays (Hacker's-Delight butterfly), fully in registers."""
+    rows = list(rows)
+    for mask, sh in zip(_BP_MASKS, _BP_SHIFTS):
+        shu = np.uint32(sh)
+        for i in range(32):
+            if i & sh:
+                continue
+            a, b = rows[i], rows[i | sh]
+            t = ((a >> shu) ^ b) & mask
+            rows[i] = a ^ (t << shu)
+            rows[i | sh] = b ^ t
+    return rows
+
+
+def _bp_encode_kernel(q_ref, planes_ref, sign_ref, e_ref):
+    q = q_ref[:]                                   # (CB, 32, 128) int32
+    m = jnp.abs(q).astype(jnp.uint32)
+    rows = _butterfly_rows([m[:, i, :] for i in range(32)])
+    planes = jnp.stack(rows, axis=1)               # (CB, 32, 128)
+    planes_ref[:] = planes
+    neg = (q < 0).astype(jnp.uint32)
+    sign = neg[:, 0, :]
+    for i in range(1, 32):
+        sign = sign | (neg[:, i, :] << np.uint32(i))
+    sign_ref[:] = sign
+    occ = (planes != np.uint32(0)).any(axis=2)     # (CB, 32)
+    bit_idx = jax.lax.broadcasted_iota(jnp.int32, occ.shape, 1) + 1
+    e = jnp.max(jnp.where(occ, bit_idx, 0), axis=1, keepdims=True)
+    # lane-broadcast: rank-1 int32 outputs hit XLA/Mosaic layout-tiling
+    # mismatches; a (CB, 128) broadcast costs ~0.1%% of the planes write.
+    e_ref[:] = jnp.broadcast_to(e, (e.shape[0], 128))
+
+
+def bp_encode_core(qc: jax.Array):
+    """(nchunks, 32, 128) int32 -> (planes u32 same shape, sign u32
+    (nchunks, 128), e int32 (nchunks,)).  nchunks is padded to BP_CB
+    internally; callers slice."""
+    nc = qc.shape[0]
+    ncp = -(-nc // BP_CB) * BP_CB
+    if ncp != nc:
+        qc = jnp.concatenate(
+            [qc, jnp.zeros((ncp - nc,) + qc.shape[1:], qc.dtype)])
+    grid = (ncp // BP_CB,)
+    planes, sign, e = pl.pallas_call(
+        _bp_encode_kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((BP_CB, 32, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((BP_CB, 32, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BP_CB, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BP_CB, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((ncp, 32, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((ncp, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((ncp, 128), jnp.int32),
+        ),
+    )(qc)
+    return planes[:nc], sign[:nc], e[:nc, 0]
+
+
+def _bp_decode_kernel(planes_ref, sign_ref, out_ref):
+    planes = planes_ref[:]                         # (CB, 32, 128) u32
+    rows = _butterfly_rows([planes[:, i, :] for i in range(32)])
+    sign = sign_ref[:]                             # (CB, 128)
+    outs = []
+    for i in range(32):
+        neg = (sign >> np.uint32(i)) & np.uint32(1)
+        v = rows[i].astype(jnp.int32)
+        outs.append(jnp.where(neg == np.uint32(1), -v, v))
+    out_ref[:] = jnp.stack(outs, axis=1)
+
+
+def bp_decode_core(planes: jax.Array, sign: jax.Array) -> jax.Array:
+    """Inverse of :func:`bp_encode_core`: -> (nchunks, 32, 128) int32."""
+    nc = planes.shape[0]
+    ncp = -(-nc // BP_CB) * BP_CB
+    if ncp != nc:
+        planes = jnp.concatenate(
+            [planes, jnp.zeros((ncp - nc, 32, 128), planes.dtype)])
+        sign = jnp.concatenate(
+            [sign, jnp.zeros((ncp - nc, 128), sign.dtype)])
+    grid = (ncp // BP_CB,)
+    out = pl.pallas_call(
+        _bp_decode_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BP_CB, 32, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BP_CB, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BP_CB, 32, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ncp, 32, 128), jnp.int32),
+    )(planes, sign)
+    return out[:nc]
