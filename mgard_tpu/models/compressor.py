@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import functools
 import math
+import struct
+import zlib
 from typing import List, Optional, Tuple
 
 import jax
@@ -56,12 +58,17 @@ class Compressor:
         self._encode = jax.jit(functools.partial(self._encode_impl,
                                                  grouped=grouped))
         self._decode = self._decode_fn(grouped)
+        # Host-side lossless paths (reference-compatible Huffman, raw):
+        # the device kernel stops at the quantized stream.
+        self._encode_raw = jax.jit(self._quantized_flat)
+        self._decode_raw = jax.jit(self._flat_to_array)
         self._norm = jax.jit(self._norm_impl)
 
     # ------------------------------------------------------------------
     # jitted kernels
     # ------------------------------------------------------------------
-    def _encode_impl(self, v: jax.Array, tol: jax.Array, grouped: bool):
+    def _quantized_flat(self, v: jax.Array, tol: jax.Array):
+        """Decompose + quantize -> (flat int32 stream, overflow flag)."""
         hier = self.hier
         if self.config.decomposition == Decomposition.SINGLEDIM:
             if not math.isinf(self.s):
@@ -86,47 +93,54 @@ class Compressor:
             blocks = transform.pyramid_to_blocks(hier, pyr)
             qblocks = quantize_blocks(hier, blocks, self.s, tol)
             flat = jnp.concatenate([q.reshape(-1) for q in qblocks])
-        enc = bitplane.encode_pergroup if grouped else bitplane.encode
-        exponents, words, count = enc(flat)
         # overflow guard: a quantized magnitude at the int32 ceiling means
         # the tolerance is too tight for this dynamic range (the reference
         # throws from LinearQuantizer, LinearQuantizer.tpp:20-26)
         overflow = jnp.max(jnp.abs(flat)) >= np.int32(2**31 - 1)
+        return flat, overflow
+
+    def _flat_to_array(self, flat: jax.Array, tol: jax.Array) -> jax.Array:
+        """Dequantize + recompose a flat int32 stream (inverse of
+        :meth:`_quantized_flat`)."""
+        hier = self.hier
+        if self.config.decomposition == Decomposition.SINGLEDIM:
+            from ..ops import transform_singledim as sd
+            from ..ops.quantize import supremum_quantum
+            q = supremum_quantum(hier, tol).astype(self.dtype)
+            flatf = flat.astype(self.dtype) * q
+            coarse, slabs = sd.unflatten_slabs(hier, flatf)
+            return sd.recompose_sd(hier, coarse, slabs)
+        if self.config.layout == Layout.FINE:
+            from ..ops.quantize import dequantize_pyramid
+            fine = flat.reshape(hier.shape)
+            qpyr = transform.fine_to_pyramid(hier, fine)
+            pyr = dequantize_pyramid(hier, qpyr, self.s, tol, self.dtype)
+            return transform.recompose(hier, pyr)
+        sizes = _block_sizes(hier)
+        specs = transform.block_specs(hier)
+        qblocks = []
+        off = 0
+        for size, (_, _, bs, _) in zip(sizes, specs):
+            qblocks.append(jax.lax.slice_in_dim(
+                flat, off, off + size).reshape(bs))
+            off += size
+        blocks = dequantize_blocks(hier, qblocks, self.s, tol, self.dtype)
+        pyr = transform.blocks_to_pyramid(hier, blocks)
+        return transform.recompose(hier, pyr)
+
+    def _encode_impl(self, v: jax.Array, tol: jax.Array, grouped: bool):
+        flat, overflow = self._quantized_flat(v, tol)
+        enc = bitplane.encode_pergroup if grouped else bitplane.encode
+        exponents, words, count = enc(flat)
         return exponents, words, count, overflow
 
     @functools.lru_cache(maxsize=4)
     def _decode_fn(self, grouped: bool):
         def impl(exponents: jax.Array, words: jax.Array, tol: jax.Array):
-            hier = self.hier
             dec = (bitplane.decode_pergroup if grouped
                    else bitplane.decode)
-            flat = dec(exponents, words, hier.ndof())
-            if self.config.decomposition == Decomposition.SINGLEDIM:
-                from ..ops import transform_singledim as sd
-                from ..ops.quantize import supremum_quantum
-                q = supremum_quantum(hier, tol).astype(self.dtype)
-                flatf = flat.astype(self.dtype) * q
-                coarse, slabs = sd.unflatten_slabs(hier, flatf)
-                return sd.recompose_sd(hier, coarse, slabs)
-            if self.config.layout == Layout.FINE:
-                from ..ops.quantize import dequantize_pyramid
-                fine = flat.reshape(hier.shape)
-                qpyr = transform.fine_to_pyramid(hier, fine)
-                pyr = dequantize_pyramid(hier, qpyr, self.s, tol,
-                                         self.dtype)
-                return transform.recompose(hier, pyr)
-            sizes = _block_sizes(hier)
-            specs = transform.block_specs(hier)
-            qblocks = []
-            off = 0
-            for size, (_, _, bs, _) in zip(sizes, specs):
-                qblocks.append(jax.lax.slice_in_dim(
-                    flat, off, off + size).reshape(bs))
-                off += size
-            blocks = dequantize_blocks(hier, qblocks, self.s, tol,
-                                       self.dtype)
-            pyr = transform.blocks_to_pyramid(hier, blocks)
-            return transform.recompose(hier, pyr)
+            flat = dec(exponents, words, self.hier.ndof())
+            return self._flat_to_array(flat, tol)
         return jax.jit(impl)
 
     def _norm_impl(self, v: jax.Array):
@@ -153,25 +167,37 @@ class Compressor:
             abs_tol = float(tolerance) * norm
 
         from ..utils.log import Timer
-        with Timer("compress (device)", v.nbytes):
-            exponents, words, count, overflow = self._encode(v, abs_tol)
-            count = int(count)
-        if bool(overflow):
-            raise OverflowError(
-                "quantized coefficients exceed the int32 range — the "
-                "tolerance is too small for this data's dynamic range")
-        exp_np = np.asarray(exponents)
-        words_np = np.asarray(words)[:count]
-
         lossless = self.lossless
-        exp_bytes = exp_np.tobytes()
-        word_bytes = words_np.astype("<u4").tobytes()
-        if lossless in (Lossless.BITPLANE_ZSTD,
-                        Lossless.BITPLANE_GROUP_ZSTD):
-            import zstandard
-            cctx = zstandard.ZstdCompressor(level=self.config.zstd_level)
-            exp_bytes = cctx.compress(exp_bytes)
-            word_bytes = cctx.compress(word_bytes)
+        if lossless in (Lossless.HUFFMAN_ZLIB, Lossless.HUFFMAN_ZSTD,
+                        Lossless.NONE):
+            with Timer("compress (device)", v.nbytes):
+                flat, overflow = self._encode_raw(v, abs_tol)
+                flat_np = np.asarray(flat)
+            if bool(overflow):
+                raise OverflowError(
+                    "quantized coefficients exceed the int32 range — the "
+                    "tolerance is too small for this data's dynamic range")
+            sections = [self._host_lossless_encode(flat_np)]
+        else:
+            with Timer("compress (device)", v.nbytes):
+                exponents, words, count, overflow = self._encode(v, abs_tol)
+                count = int(count)
+            if bool(overflow):
+                raise OverflowError(
+                    "quantized coefficients exceed the int32 range — the "
+                    "tolerance is too small for this data's dynamic range")
+            exp_np = np.asarray(exponents)
+            words_np = np.asarray(words)[:count]
+
+            exp_bytes = exp_np.tobytes()
+            word_bytes = words_np.astype("<u4").tobytes()
+            if lossless in (Lossless.BITPLANE_ZSTD,
+                            Lossless.BITPLANE_GROUP_ZSTD):
+                import zstandard
+                cctx = zstandard.ZstdCompressor(level=self.config.zstd_level)
+                exp_bytes = cctx.compress(exp_bytes)
+                word_bytes = cctx.compress(word_bytes)
+            sections = [exp_bytes, word_bytes]
 
         header = fmt.Header(
             dtype=self.dtype, shape=self.hier.shape,
@@ -182,7 +208,53 @@ class Compressor:
             section_sizes=(),
             decomposition=int(self.config.decomposition),
             layout=int(self.config.layout))
-        return fmt.write_container(header, [exp_bytes, word_bytes])
+        return fmt.write_container(header, sections)
+
+    # ------------------------------------------------------------------
+    # host-side lossless paths (reference-compatible Huffman / raw)
+    # ------------------------------------------------------------------
+    def _host_lossless_encode(self, flat_np: np.ndarray) -> bytes:
+        """Encode the quantized int32 stream with the selected host codec.
+
+        HUFFMAN_ZLIB / HUFFMAN_ZSTD mirror the reference CPU back end
+        (compress_memory_huffman, src/compressors.cpp:421-512): custom
+        Huffman over the stream, then zlib/zstd of {tree, bits, misses}
+        with a 3-size preamble.  NONE stores the raw little-endian int32s.
+        """
+        if self.lossless == Lossless.NONE:
+            return flat_np.astype("<i4").tobytes()
+        from ..io.huffman_native import huffman_encode
+        tree, hit, hit_bits, miss = huffman_encode(
+            flat_np.astype(np.int64))
+        inner = tree + hit + miss
+        if self.lossless == Lossless.HUFFMAN_ZSTD:
+            import zstandard
+            packed = zstandard.ZstdCompressor(
+                level=self.config.zstd_level).compress(inner)
+        else:
+            packed = zlib.compress(inner, 6)
+        return struct.pack("<QQQ", len(tree), hit_bits, len(miss)) + packed
+
+    def _host_lossless_decode(self, payload: bytes,
+                              lossless: Lossless) -> np.ndarray:
+        ndof = self.hier.ndof()
+        if lossless == Lossless.NONE:
+            return np.frombuffer(payload, dtype="<i4").astype(np.int32)
+        tree_size, hit_bits, miss_size = struct.unpack_from("<QQQ",
+                                                            payload, 0)
+        inner_size = tree_size + hit_bits // 8 + 4 + miss_size
+        if lossless == Lossless.HUFFMAN_ZSTD:
+            import zstandard
+            inner = zstandard.ZstdDecompressor().decompress(
+                payload[24:], max_output_size=inner_size)
+        else:
+            inner = zlib.decompress(payload[24:])
+        from ..io.huffman_native import huffman_decode
+        tree = inner[:tree_size]
+        hit = inner[tree_size:tree_size + hit_bits // 8 + 4]
+        miss = inner[tree_size + hit_bits // 8 + 4:]
+        q = huffman_decode(tree, hit, hit_bits, miss, ndof)
+        return q.astype(np.int32)
 
     def decompress(self, buf: bytes) -> np.ndarray:
         header, sections = fmt.read_container(buf)
@@ -192,6 +264,13 @@ class Compressor:
                           sections: List[bytes]) -> np.ndarray:
         if tuple(header.shape) != self.hier.shape:
             raise ValueError("container shape mismatch")
+        if header.lossless in (int(Lossless.HUFFMAN_ZLIB),
+                               int(Lossless.HUFFMAN_ZSTD),
+                               int(Lossless.NONE)):
+            flat_np = self._host_lossless_decode(
+                sections[0], Lossless(header.lossless))
+            out = self._decode_raw(jnp.asarray(flat_np), header.tolerance)
+            return np.asarray(out)
         exp_bytes, word_bytes = sections[0], sections[1]
         ndof = self.hier.ndof()
         grouped = header.lossless in (int(Lossless.BITPLANE_GROUP),

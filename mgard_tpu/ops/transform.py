@@ -350,8 +350,18 @@ def decompose(hier: Hierarchy, v: jax.Array) -> List[jax.Array]:
 
 def recompose(hier: Hierarchy, pyramid: Sequence[jax.Array]) -> jax.Array:
     """Exact inverse of :func:`decompose`."""
+    return recompose_to_level(hier, pyramid, hier.L)
+
+
+def recompose_to_level(hier: Hierarchy, pyramid: Sequence[jax.Array],
+                       lmax: int) -> jax.Array:
+    """Recompose only up to level ``lmax``: returns the dense level-``lmax``
+    grid (shape ``hier.shapes[lmax]``).  With ``lmax == hier.L`` this is the
+    full inverse of :func:`decompose`; smaller ``lmax`` yields the
+    adaptive-resolution output of the reference MDR pipeline
+    (include/mgard-x/MDRHighLevel/MDRHighLevel.hpp:241-254)."""
     A = pyramid[0]
-    for l in range(1, hier.L + 1):
+    for l in range(1, lmax + 1):
         detail = pyramid[l]
         C = A - _correction(hier, detail, l)
         P = _prolong_all(hier, C, l)
