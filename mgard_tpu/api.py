@@ -107,7 +107,7 @@ def _compress_multiblock(arr, tolerance, s, emode, coordinates, cfg):
         buf = comp.compress(np.ascontiguousarray(block), block_tol)
         bh, bsec = fmt.read_container(buf)
         lossless = bh.lossless
-        sections.extend(bsec[:2])
+        sections.extend(bsec)
 
     header = fmt.Header(
         dtype=arr.dtype, shape=arr.shape,
@@ -116,12 +116,14 @@ def _compress_multiblock(arr, tolerance, s, emode, coordinates, cfg):
             np.asarray(c) for c in coordinates],
         error_mode=int(emode), s=float(s), tolerance=block_tol,
         norm=norm, lossless=lossless, n_levels=0,
-        section_sizes=(), dd_dim=dd_dim, dd_nblocks=nblocks)
+        section_sizes=(), dd_dim=dd_dim, dd_nblocks=nblocks,
+        decomposition=int(cfg.decomposition), layout=int(cfg.layout))
     return fmt.write_container(header, sections)
 
 
 def _decompress_multiblock(header: fmt.Header, sections) -> np.ndarray:
     edges = _block_edges(header.shape[header.dd_dim], header.dd_nblocks)
+    per_block = len(sections) // header.dd_nblocks
     outs = []
     for i in range(header.dd_nblocks):
         bshape = list(header.shape)
@@ -131,14 +133,17 @@ def _decompress_multiblock(header: fmt.Header, sections) -> np.ndarray:
             bcoords = [np.asarray(c) for c in header.coordinates]
             bcoords[header.dd_dim] = \
                 bcoords[header.dd_dim][edges[i]:edges[i + 1]]
+        from .config import Decomposition, Layout
+        bcfg = Config(decomposition=Decomposition(header.decomposition),
+                      layout=Layout(header.layout))
         comp = get_compressor(tuple(bshape), header.dtype, s=header.s,
-                              coordinates=bcoords)
+                              coordinates=bcoords, config=bcfg)
         import dataclasses
         bh = dataclasses.replace(header, shape=tuple(bshape),
                                  coordinates=bcoords, dd_nblocks=0,
                                  section_sizes=())
         outs.append(comp.decompress_parsed(
-            bh, [sections[2 * i], sections[2 * i + 1]]))
+            bh, sections[per_block * i:per_block * (i + 1)]))
     return np.concatenate(outs, axis=header.dd_dim)
 
 

@@ -84,10 +84,11 @@ class Compressor:
             flat = jnp.trunc(jnp.copysign(0.5 + jnp.abs(scaled), scaled)
                              ).astype(jnp.int32)
         elif self.config.layout == Layout.FINE:
-            from ..ops.quantize import quantize_pyramid
+            from ..ops.quantize import round_quantize, scale_pyramid
             pyr = transform.decompose(hier, v)
-            qpyr = quantize_pyramid(hier, pyr, self.s, tol)
-            flat = transform.pyramid_to_fine(hier, qpyr).reshape(-1)
+            spyr = scale_pyramid(hier, pyr, self.s, tol)
+            fine = transform.pyramid_to_fine(hier, spyr)
+            flat = round_quantize(fine).reshape(-1)
         else:
             pyr = transform.decompose(hier, v)
             blocks = transform.pyramid_to_blocks(hier, pyr)

@@ -79,6 +79,34 @@ def _level_weight_vectors(hier: Hierarchy, l: int):
     return out
 
 
+def scale_pyramid(hier: Hierarchy, pyramid, s: float, tol):
+    """Multiply dense pyramid levels by their inverse quanta WITHOUT
+    rounding.  Because the fine-grid assembly is a bit-exact selection
+    (transform._embed_old matmul fast path), scaling per level, then
+    assembling, then rounding once is identical to quantize-then-assemble
+    — and keeps the assembly in float32 where the MXU can run it."""
+    tol = jnp.asarray(tol)
+    out = []
+    for l, blk in enumerate(pyramid):
+        dt = blk.dtype
+        if math.isinf(s):
+            out.append(blk * (1.0 / supremum_quantum(hier, tol).astype(dt)))
+        else:
+            scale = (2.0 ** (s * l)) * math.sqrt(hier.ndof()) / (2.0 * tol)
+            scaled = blk * scale.astype(dt)
+            for w in _broadcast_outer(_level_weight_vectors(hier, l), dt):
+                scaled = scaled * w
+            out.append(scaled)
+    return out
+
+
+def round_quantize(scaled: jax.Array, int_dtype=jnp.int32) -> jax.Array:
+    """Round-half-away-from-zero + integer cast (the final quantize step;
+    reference LinearQuantizer.tpp:20-26)."""
+    return jnp.trunc(jnp.copysign(0.5 + jnp.abs(scaled), scaled)
+                     ).astype(int_dtype)
+
+
 def quantize_pyramid(hier: Hierarchy, pyramid, s: float, tol,
                      int_dtype=jnp.int32):
     """Quantize dense pyramid levels in place (rank-1 quanta per level).

@@ -214,6 +214,11 @@ def _extract_old_all(hier: Hierarchy, A, l: int):
 
 
 def _prolong_all(hier: Hierarchy, C, l: int):
+    if _use_matmul(hier, l):
+        for d, P in zip(_level_dims(hier, l), _prolong_matrices(hier, l)):
+            if P is not None:
+                C = _apply_matrix(P, C, d)
+        return C
     for d in _level_dims(hier, l):
         C = prolong(C, hier.dims[d][l], d)
     return C
@@ -226,6 +231,14 @@ def _prolong_all(hier: Hierarchy, C, l: int):
 # the MXU instead of a 2n-step lax.scan through HBM — the round-1 VERDICT's
 # single biggest perf item.  Above this size the O(n^2) matmul stops
 # paying for itself and the scan path takes over.
+#
+# The same trick covers prolongation and parent-embedding: both are
+# (nc x n) matrices per (dim, level) — lerp weights for prolongation
+# (reference ConstituentProlongationAddition), a 0/1 selection matrix for
+# embedding.  A 0/1 selection matmul at HIGHEST precision is *bit-exact*
+# (verified on hardware), so the dense-matmul formulation replaces the
+# interior-pad/concat interleaves that XLA refuses to fuse (they cost
+# ~10 GB of HBM pad traffic per 512^3 encode).
 _MATMUL_MAX_N = 4096
 _SOLVER = os.environ.get("MGARD_TPU_SOLVER", "matmul")
 
@@ -297,6 +310,80 @@ def _apply_matrix(K: np.ndarray, B: jax.Array, axis: int) -> jax.Array:
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=B.dtype)
     return jnp.moveaxis(out, 0, axis)
+
+
+def _use_matmul(hier: Hierarchy, l: int) -> bool:
+    return _SOLVER == "matmul" and all(
+        hier.dims[d][l].n <= _MATMUL_MAX_N for d in _level_dims(hier, l))
+
+
+def _prolong_matrices(hier: Hierarchy, l: int):
+    """Per-dim (nc, n) prolongation matrices for level ``l`` (host,
+    cached): the transpose of the restriction matrix (adjoint pair,
+    reference TensorProlongation.tpp:22-69).  None for unrefined dims."""
+    cache = getattr(hier, "_prolong_mats", None)
+    if cache is None:
+        cache = {}
+        hier._prolong_mats = cache
+    if l not in cache:
+        mats = []
+        for d in _level_dims(hier, l):
+            lev = hier.dims[d][l]
+            if lev.coarse_pos is None or lev.new_pos is None \
+                    or len(lev.new_pos) == 0:
+                mats.append(None)
+                continue
+            mats.append(np.ascontiguousarray(_restriction_matrix_np(lev).T))
+        cache[l] = mats
+    return cache[l]
+
+
+def _embed_matrices(hier: Hierarchy, l: int):
+    """Per-dim (nc, n) 0/1 parent-selection matrices for level ``l``:
+    column x has a single 1 at the parent row when x is a parent
+    position, else all zeros.  Applied on the MXU these place a coarse
+    array at the parent positions of the level-l grid bit-exactly."""
+    cache = getattr(hier, "_embed_mats", None)
+    if cache is None:
+        cache = {}
+        hier._embed_mats = cache
+    if l not in cache:
+        mats = []
+        for d in _level_dims(hier, l):
+            lev = hier.dims[d][l]
+            if lev.coarse_pos is None:
+                mats.append(None)
+                continue
+            nc = len(lev.coarse_pos)
+            E = np.zeros((lev.n, nc), dtype=np.float64)
+            E[lev.coarse_pos, np.arange(nc)] = 1.0
+            mats.append(E)
+        cache[l] = mats
+    return cache[l]
+
+
+def _parent_masks(hier: Hierarchy, l: int):
+    """Per-dim {0,1} vectors over the level-l grid marking parent
+    positions (host, cached)."""
+    cache = getattr(hier, "_parent_mask_vecs", None)
+    if cache is None:
+        cache = {}
+        hier._parent_mask_vecs = cache
+    if l not in cache:
+        vecs = []
+        for d in range(hier.ndim):
+            if hier.shape[d] == 1:
+                vecs.append(np.ones(1, dtype=np.float32))
+                continue
+            lev = hier.dims[d][l]
+            m = np.zeros(lev.n, dtype=np.float32)
+            if lev.coarse_pos is None:
+                m[:] = 1.0
+            else:
+                m[np.asarray(lev.coarse_pos)] = 1.0
+            vecs.append(m)
+        cache[l] = vecs
+    return cache[l]
 
 
 def _correction(hier: Hierarchy, detail, l: int):
@@ -420,8 +507,14 @@ def _region_slice(A, positions):
 
 def _embed_old(hier: Hierarchy, A: jax.Array, l: int) -> jax.Array:
     """Place a level-(l-1) dense array at the parent positions of the
-    level-l grid, zeros elsewhere (stride-2 via interior padding; general
-    positions via a static scatter at the non-dyadic top)."""
+    level-l grid, zeros elsewhere.  Fast path: one bit-exact 0/1
+    selection matmul per dim on the MXU (interior pads don't fuse on
+    TPU and cost full-array HBM round-trips each)."""
+    if _use_matmul(hier, l) and jnp.issubdtype(A.dtype, jnp.floating):
+        for d, E in zip(_level_dims(hier, l), _embed_matrices(hier, l)):
+            if E is not None:
+                A = _apply_matrix(E, A, d)
+        return A
     for d in _level_dims(hier, l):
         lev = hier.dims[d][l]
         zero = jnp.zeros((), dtype=A.dtype)
@@ -459,8 +552,19 @@ def pyramid_to_fine(hier: Hierarchy, pyramid: Sequence[jax.Array]) -> jax.Array:
 
 
 def _zero_old(hier: Hierarchy, D: jax.Array, l: int) -> jax.Array:
-    """Zero the parent positions of a dense level-l array."""
-    return D - _embed_old(hier, _extract_old_all(hier, D, l), l)
+    """Zero the parent positions of a dense level-l array.
+
+    Expressed as an elementwise multiply with the complement of the
+    all-parents indicator (an outer product of tiny per-dim 0/1 vectors)
+    — one fused VPU pass instead of extract+embed round-trips."""
+    masks = _parent_masks(hier, l)
+    prod = None
+    for d, m in enumerate(masks):
+        shp = [1] * D.ndim
+        shp[d] = len(m)
+        mv = jnp.asarray(m, dtype=D.dtype).reshape(shp)
+        prod = mv if prod is None else prod * mv
+    return D * (1 - prod)
 
 
 def fine_to_pyramid(hier: Hierarchy, fine: jax.Array) -> List[jax.Array]:

@@ -133,6 +133,77 @@ class ShardedCompressor:
         tol_arr = jnp.asarray([block_tol], dtype=jnp.float64)
         return self._decode(exponents, words, tol_arr)
 
+    # ------------------------------------------------------------------
+    # Container-producing high-level path (reference general_compress
+    # over subdomains, CompressionHighLevel.hpp:79-136): the sharded
+    # encode runs on the mesh, the host performs the ragged gather of
+    # per-block streams (counts are per-device scalars) and assembles
+    # the same multi-block container the public ``decompress`` reads.
+    # ------------------------------------------------------------------
+    @classmethod
+    def for_global(cls, mesh: Mesh, axis: str, global_shape, dtype,
+                   s: float = math.inf, config: Optional[Config] = None,
+                   nblocks: Optional[int] = None):
+        """Build a compressor for a global array split into equal slabs
+        along its largest dim — one (or more) per mesh device."""
+        global_shape = tuple(int(x) for x in global_shape)
+        n_dev = mesh.devices.size
+        nblocks = nblocks or n_dev
+        dd_dim = int(np.argmax(global_shape))
+        if global_shape[dd_dim] % nblocks:
+            raise ValueError(
+                f"dim {dd_dim} of {global_shape} not divisible into "
+                f"{nblocks} equal slabs")
+        block_shape = list(global_shape)
+        block_shape[dd_dim] = global_shape[dd_dim] // nblocks
+        sc = cls(mesh, axis, tuple(block_shape), dtype, s=s, config=config)
+        sc.global_shape = global_shape
+        sc.dd_dim = dd_dim
+        sc.nblocks = nblocks
+        return sc
+
+    def compress(self, data, tolerance: float,
+                 mode: ErrorMode = ErrorMode.ABS) -> bytes:
+        """Compress a global array into a self-describing multi-block
+        container decodable by ``mgard_tpu.decompress``."""
+        from ..io import format as fmt
+
+        arr = np.asarray(data, dtype=self.dtype)
+        if not hasattr(self, "global_shape"):
+            raise ValueError("use ShardedCompressor.for_global(...) for "
+                             "the container-producing path")
+        if tuple(arr.shape) != self.global_shape:
+            raise ValueError(f"expected {self.global_shape}, got {arr.shape}")
+        blocks = np.stack(np.split(arr, self.nblocks, axis=self.dd_dim))
+
+        abs_tol = float(tolerance)
+        norm = 1.0
+        v = self.shard_blocks(blocks)
+        if mode == ErrorMode.REL:
+            norm = float(self._norm(v))
+            abs_tol *= norm
+        from .domain import local_abs_tol
+        block_tol = local_abs_tol(abs_tol, self.s, self.nblocks)
+        tol_arr = jnp.asarray([block_tol], dtype=jnp.float32)
+        e, w, c = self._encode(v, tol_arr)
+        # Ragged gather: per-block true word counts are scalars; only
+        # words[:count] of each block's fixed-capacity buffer is payload.
+        counts = np.asarray(c)
+        e_np = np.asarray(e)
+        sections = []
+        for b in range(self.nblocks):
+            sections.append(e_np[b].tobytes())
+            sections.append(
+                np.asarray(w[b])[:int(counts[b])].astype("<u4").tobytes())
+        header = fmt.Header(
+            dtype=self.dtype, shape=self.global_shape, uniform=True,
+            coordinates=None, error_mode=int(mode), s=self.s,
+            tolerance=block_tol, norm=norm,
+            lossless=0, n_levels=self.hier.L, section_sizes=(),
+            dd_dim=self.dd_dim, dd_nblocks=self.nblocks,
+            layout=1)
+        return fmt.write_container(header, sections)
+
     def roundtrip_step(self):
         """One fully-jitted encode+decode+error step over the mesh (used by
         the multi-chip dry run and as the scaling-bench inner loop)."""

@@ -18,3 +18,48 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 assert jax.default_backend() == "cpu"
+
+import pytest  # noqa: E402
+
+# Tiered suite (reference splits fast unit tests from BatchTests-style
+# sweeps).  `pytest -m "not slow"` is the fast tier (< ~2 min on the
+# 8-device CPU mesh); the slow tier holds property sweeps, large shapes
+# and multi-compile tests.  Centralized here so timings drive the list.
+_SLOW_TESTS = {
+    "test_mdr.py::test_domain_decomposed_mdr",
+    "test_mdr.py::test_incremental_refinement_reuses_state",
+    "test_mdr.py::test_refactor_full_reconstruct_exact_ish",
+    "test_mdr.py::test_progressive_tolerance",
+    "test_mdr.py::test_fewer_planes_for_looser_tol",
+    "test_mdr.py::test_negabinary_roundtrip",
+    "test_mdr.py::test_snorm_request_meets_bound",
+    "test_mdr.py::test_adaptive_resolution",
+    "test_mdr.py::test_per_plane_lossless_shrinks_retrieval",
+    "test_compress_e2e.py::test_4d_and_5d_e2e",
+    "test_compress_e2e.py::test_nondyadic_shape_e2e",
+    "test_compress_e2e.py::test_zstd_stage_smaller",
+    "test_compress_e2e.py::test_snorm_bound",
+    "test_compress_e2e.py::test_nonuniform_grid_bound",
+    "test_multiblock.py::test_multiblock_snorm_budget_split",
+    "test_multiblock.py::test_multiblock_linf_bound",
+    "test_multiblock.py::test_multiblock_rel_mode",
+    "test_zfp.py::test_rate_controls_size_and_error",
+    "test_bitplane.py::test_pergroup_roundtrip",
+    "test_conformance.py::test_linf_grid",
+    "test_conformance.py::test_codec_grid",
+    "test_roi.py::test_roi_tight_inside_loose_outside",
+    "test_roi.py::test_roi_3d_runs",
+    "test_parallel.py::test_sharded_roundtrip_8_devices",
+    "test_parallel.py::test_graft_dryrun_multichip",
+    "test_reference_oracle.py",
+    "test_huffman_parity.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        rel = item.nodeid.split("/")[-1]
+        base = rel.split("[")[0]
+        fname = base.split("::")[0]
+        if base in _SLOW_TESTS or fname in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)

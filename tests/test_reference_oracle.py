@@ -1,8 +1,10 @@
 """Cross-validation against the compiled *reference* MGARD library.
 
-These tests run only when the oracle binary exists (build it with
-tools/build_reference_oracle.sh — it compiles the reference CPU library
-out-of-tree and links native/mgard_oracle.cpp against it).
+The oracle binary is built on demand from /root/reference (cached in
+/tmp/mgard_build across runs — tools/build_reference_oracle.sh).  These
+tests are marked slow via conftest; the fast tier skips them, the full
+suite builds and runs them by default so the bit-for-bit interop claims
+are re-verified on every full run.
 """
 
 import math
@@ -16,9 +18,31 @@ from mgard_tpu.io import mgard_compat
 from tests.test_compress_e2e import smooth_field
 
 ORACLE = pathlib.Path("/tmp/mgard_oracle")
+_BUILD_SCRIPT = pathlib.Path(__file__).resolve().parents[1] / "tools" / \
+    "build_reference_oracle.sh"
 
-pytestmark = pytest.mark.skipif(
-    not ORACLE.exists(), reason="reference oracle not built")
+
+def _ensure_oracle() -> bool:
+    if ORACLE.exists():
+        return True
+    if not pathlib.Path("/root/reference").is_dir():
+        return False
+    try:
+        subprocess.run(["sh", str(_BUILD_SCRIPT)], check=True,
+                       capture_output=True, timeout=1200)
+    except (subprocess.CalledProcessError, subprocess.TimeoutExpired,
+            FileNotFoundError):
+        return False
+    return ORACLE.exists()
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _oracle_built():
+    # Lazy: the (cached) build only happens when these tests actually
+    # run, never at collection time — the fast tier stays fast.
+    if not _ensure_oracle():
+        pytest.skip("reference oracle unavailable "
+                    "(no /root/reference or build failed)")
 
 
 def _oracle(*args):
@@ -107,3 +131,32 @@ def test_snorm_file_parity(tmp_path):
     import jax.numpy as jnp
     h = Hierarchy(v.shape)
     assert float(norms.norm(h, jnp.asarray(ours - v), 0.0)) <= 1e-3
+
+
+def test_ratio_parity_vs_reference(tmp_path):
+    """North-star size check (BASELINE.md): at the same error bound our
+    compressed size must match the reference's.  The host Huffman path
+    runs the reference's own entropy coder so it must be within a few
+    percent (ordering differences only); the on-chip bitplane+zstd codec
+    must stay within 15% on this field (measured ~4% behind at 256^3)."""
+    import mgard_tpu
+    from mgard_tpu.config import Config, Lossless
+
+    shape = (65, 65, 65)
+    v = smooth_field(shape, seed=77).astype(np.float32)
+    raw = tmp_path / "in.bin"
+    out = tmp_path / "out.mgard"
+    v.tofile(raw)
+    _oracle("compress", raw, out, "float32", 1e-3, "inf", *shape)
+    ref_size = out.stat().st_size
+
+    ours_h = len(mgard_tpu.compress(
+        v, 1e-3, config=Config(lossless=Lossless.HUFFMAN_ZLIB)))
+    ours_bp = len(mgard_tpu.compress(
+        v, 1e-3, config=Config(lossless=Lossless.BITPLANE_GROUP_ZSTD)))
+    assert ours_h <= 1.06 * ref_size, (ours_h, ref_size)
+    assert ours_bp <= 1.15 * ref_size, (ours_bp, ref_size)
+    # and the compat writer (bit-compatible stream) must not exceed it
+    compat = len(mgard_compat.compress_mgard(
+        v.astype(np.float64), 1e-3, zstd=False))
+    assert compat <= 1.02 * ref_size, (compat, ref_size)
