@@ -109,6 +109,10 @@ def _compress_multiblock(arr, tolerance, s, emode, coordinates, cfg):
         lossless = bh.lossless
         sections.extend(bsec)
 
+    from .config import Decomposition
+    dec_wire = (1 + max(1, int(cfg.num_local_levels))
+                if cfg.decomposition == Decomposition.HYBRID
+                else int(cfg.decomposition))
     header = fmt.Header(
         dtype=arr.dtype, shape=arr.shape,
         uniform=coordinates is None,
@@ -117,7 +121,7 @@ def _compress_multiblock(arr, tolerance, s, emode, coordinates, cfg):
         error_mode=int(emode), s=float(s), tolerance=block_tol,
         norm=norm, lossless=lossless, n_levels=0,
         section_sizes=(), dd_dim=dd_dim, dd_nblocks=nblocks,
-        decomposition=int(cfg.decomposition), layout=int(cfg.layout))
+        decomposition=dec_wire, layout=int(cfg.layout))
     return fmt.write_container(header, sections)
 
 
@@ -133,9 +137,7 @@ def _decompress_multiblock(header: fmt.Header, sections) -> np.ndarray:
             bcoords = [np.asarray(c) for c in header.coordinates]
             bcoords[header.dd_dim] = \
                 bcoords[header.dd_dim][edges[i]:edges[i + 1]]
-        from .config import Decomposition, Layout
-        bcfg = Config(decomposition=Decomposition(header.decomposition),
-                      layout=Layout(header.layout))
+        bcfg = _config_from_header(header)
         comp = get_compressor(tuple(bshape), header.dtype, s=header.s,
                               coordinates=bcoords, config=bcfg)
         import dataclasses
@@ -165,9 +167,19 @@ def decompress(buf: bytes) -> np.ndarray:
     if header.roi_block:
         from .models.roi import decompress_roi
         return decompress_roi(header, sections)
-    from .config import Decomposition, Layout
-    cfg = Config(decomposition=Decomposition(header.decomposition),
-                 layout=Layout(header.layout))
+    cfg = _config_from_header(header)
     comp = get_compressor(header.shape, header.dtype, s=header.s,
                           coordinates=header.coordinates, config=cfg)
     return comp.decompress_parsed(header, sections)
+
+
+def _config_from_header(header: fmt.Header) -> Config:
+    """Decode the wire decomposition byte: values >= 2 encode HYBRID
+    with 1 + num_local_levels (config.py)."""
+    from .config import Decomposition, Layout
+    if header.decomposition >= 2:
+        return Config(decomposition=Decomposition.HYBRID,
+                      num_local_levels=header.decomposition - 1,
+                      layout=Layout(header.layout))
+    return Config(decomposition=Decomposition(header.decomposition),
+                  layout=Layout(header.layout))

@@ -21,7 +21,10 @@ class Lossless(enum.IntEnum):
 class Decomposition(enum.IntEnum):
     MULTIDIM = 0        # all dims per level (reference MultiDim default)
     SINGLEDIM = 1       # one dim at a time (reference Types.h:19)
-    # HYBRID reserved
+    HYBRID = 2          # block-local levels then global (reference
+    #                     HybridHierarchyCompressor.h:31-86).  On the wire
+    #                     values >= 2 encode 1 + num_local_levels so the
+    #                     header stays one byte.
 
 
 class Layout(enum.IntEnum):
@@ -40,6 +43,9 @@ class ErrorMode(enum.IntEnum):
 class Config:
     lossless: Lossless = Lossless.BITPLANE
     decomposition: Decomposition = Decomposition.MULTIDIM
+    # Block-local levels for Decomposition.HYBRID (reference
+    # config.num_local_refactoring_level, Config.cpp:40).
+    num_local_levels: int = 1
     layout: Layout = Layout.FINE
     zstd_level: int = 1
     # Threshold (bytes of input) above which compress() splits the domain

@@ -53,6 +53,17 @@ class Compressor:
             elif lossless == Lossless.BITPLANE_ZSTD:
                 lossless = Lossless.BITPLANE_GROUP_ZSTD
         self.lossless = lossless
+        # Hybrid decomposition: block-local levels on a packed coarse
+        # hierarchy (reference HybridHierarchyCompressor.h:31-86).
+        self._hybrid_k = 0
+        self._hybrid_hc = None
+        self._nstream = hier.ndof()
+        if self.config.decomposition == Decomposition.HYBRID:
+            from ..ops import transform_hybrid as th
+            self._hybrid_k = max(1, int(self.config.num_local_levels))
+            self._hybrid_hc = Hierarchy(
+                th.coarse_shape(hier.shape, self._hybrid_k))
+            self._nstream = th.hybrid_stream_size(hier.shape, self._hybrid_k)
         grouped = lossless in (Lossless.BITPLANE_GROUP,
                                Lossless.BITPLANE_GROUP_ZSTD)
         self._encode = jax.jit(functools.partial(self._encode_impl,
@@ -67,10 +78,32 @@ class Compressor:
     # ------------------------------------------------------------------
     # jitted kernels
     # ------------------------------------------------------------------
+    def _hybrid_quantum(self, tol):
+        """L-inf quantum with the total (local + global) level count in
+        the amplification denominator (reference formula,
+        TensorMultilevelCoefficientQuantizer.tpp:13-25)."""
+        d = self.hier.effective_ndim
+        L_total = self._hybrid_hc.L + self._hybrid_k
+        return (2.0 * jnp.asarray(tol)) / ((L_total + 1) * (1 + 3.0 ** d))
+
     def _quantized_flat(self, v: jax.Array, tol: jax.Array):
         """Decompose + quantize -> (flat int32 stream, overflow flag)."""
         hier = self.hier
-        if self.config.decomposition == Decomposition.SINGLEDIM:
+        if self.config.decomposition == Decomposition.HYBRID:
+            if not math.isinf(self.s):
+                raise NotImplementedError(
+                    "Hybrid decomposition currently supports L-inf "
+                    "error control only")
+            from ..ops import transform_hybrid as th
+            from ..ops.quantize import round_quantize
+            pyr, details = th.decompose_hybrid(self._hybrid_hc, v,
+                                               self._hybrid_k)
+            inv_q = (1.0 / self._hybrid_quantum(tol)).astype(v.dtype)
+            pyr = [p * inv_q for p in pyr]
+            details = [d * inv_q for d in details]
+            fine = th.flatten_hybrid(self._hybrid_hc, pyr, details)
+            flat = round_quantize(fine)
+        elif self.config.decomposition == Decomposition.SINGLEDIM:
             if not math.isinf(self.s):
                 raise NotImplementedError(
                     "SingleDim decomposition currently supports L-inf "
@@ -104,6 +137,14 @@ class Compressor:
         """Dequantize + recompose a flat int32 stream (inverse of
         :meth:`_quantized_flat`)."""
         hier = self.hier
+        if self.config.decomposition == Decomposition.HYBRID:
+            from ..ops import transform_hybrid as th
+            q = self._hybrid_quantum(tol).astype(self.dtype)
+            flatf = flat.astype(self.dtype) * q
+            pyr, details = th.unflatten_hybrid(
+                self._hybrid_hc, flatf, hier.shape, self._hybrid_k)
+            return th.recompose_hybrid(self._hybrid_hc, pyr, details,
+                                       hier.shape)
         if self.config.decomposition == Decomposition.SINGLEDIM:
             from ..ops import transform_singledim as sd
             from ..ops.quantize import supremum_quantum
@@ -140,7 +181,7 @@ class Compressor:
         def impl(exponents: jax.Array, words: jax.Array, tol: jax.Array):
             dec = (bitplane.decode_pergroup if grouped
                    else bitplane.decode)
-            flat = dec(exponents, words, self.hier.ndof())
+            flat = dec(exponents, words, self._nstream)
             return self._flat_to_array(flat, tol)
         return jax.jit(impl)
 
@@ -207,7 +248,8 @@ class Compressor:
             error_mode=int(mode), s=self.s, tolerance=abs_tol, norm=norm,
             lossless=int(lossless), n_levels=self.hier.L,
             section_sizes=(),
-            decomposition=int(self.config.decomposition),
+            decomposition=(1 + self._hybrid_k if self._hybrid_k
+                           else int(self.config.decomposition)),
             layout=int(self.config.layout))
         return fmt.write_container(header, sections)
 
@@ -238,7 +280,7 @@ class Compressor:
 
     def _host_lossless_decode(self, payload: bytes,
                               lossless: Lossless) -> np.ndarray:
-        ndof = self.hier.ndof()
+        ndof = self._nstream
         if lossless == Lossless.NONE:
             return np.frombuffer(payload, dtype="<i4").astype(np.int32)
         tree_size, hit_bits, miss_size = struct.unpack_from("<QQQ",
@@ -273,7 +315,7 @@ class Compressor:
             out = self._decode_raw(jnp.asarray(flat_np), header.tolerance)
             return np.asarray(out)
         exp_bytes, word_bytes = sections[0], sections[1]
-        ndof = self.hier.ndof()
+        ndof = self._nstream
         grouped = header.lossless in (int(Lossless.BITPLANE_GROUP),
                                       int(Lossless.BITPLANE_GROUP_ZSTD))
         # per-group exponent arrays are padded to whole chunks by _to_rows
@@ -303,10 +345,10 @@ def _cached_compressor(shape: Tuple[int, ...], dtype_str: str, s: float,
     coords = None if coords_key is None else [
         np.asarray(c) for c in coords_key]
     hier = Hierarchy(shape, coordinates=coords)
-    lossless, zstd_level, decomposition, layout = config_key
+    lossless, zstd_level, decomposition, layout, num_local = config_key
     cfg = Config(lossless=Lossless(lossless), zstd_level=zstd_level,
                  decomposition=Decomposition(decomposition),
-                 layout=Layout(layout))
+                 layout=Layout(layout), num_local_levels=num_local)
     return Compressor(hier, np.dtype(dtype_str), s=s, config=cfg)
 
 
@@ -321,4 +363,4 @@ def get_compressor(shape, dtype, s: float = math.inf, coordinates=None,
         tuple(int(x) for x in shape), np.dtype(dtype).str, float(s),
         coords_key,
         (int(cfg.lossless), cfg.zstd_level, int(cfg.decomposition),
-         int(cfg.layout)))
+         int(cfg.layout), int(cfg.num_local_levels)))

@@ -349,17 +349,26 @@ class MDRefactorResult:
 
 
 def _stream_pack(data: bytes, lossless: int) -> bytes:
+    """Per-stream lossless with a 1-byte flag: 0 = raw, 1 = zstd.  Tiny
+    or incompressible streams stay raw (the reference
+    AdaptiveLevelCompressor's role, MDR/LosslessCompressor/
+    AdaptiveLevelCompressor.hpp)."""
     if lossless == LOSSLESS_ZSTD:
         import zstandard
-        return zstandard.ZstdCompressor(level=3).compress(data)
+        packed = zstandard.ZstdCompressor(level=3).compress(data)
+        if len(packed) < len(data):
+            return b"\x01" + packed
+        return b"\x00" + data
     return data
 
 
 def _stream_unpack(data: bytes, lossless: int, raw_size: int) -> bytes:
     if lossless == LOSSLESS_ZSTD:
-        import zstandard
-        return zstandard.ZstdDecompressor().decompress(
-            data, max_output_size=raw_size)
+        if data[:1] == b"\x01":
+            import zstandard
+            return zstandard.ZstdDecompressor().decompress(
+                data[1:], max_output_size=raw_size)
+        return data[1:]
     return data
 
 

@@ -219,12 +219,12 @@ def encode(q: jax.Array):
     offsets = jnp.cumsum(counts) - counts
     total_rows = offsets[-1] + counts[-1]
 
-    # Condense with ONE row gather (no padded intermediate): source rows
-    # live in [sign rows (nc) | plane rows (nc*32)]; output row j of chunk
-    # `cid` at slot 0 is its sign row, slot k >= 1 is plane e_cid - k
-    # (MSB first).
-    rows2d = jnp.concatenate(
-        [sign_c, planes_c.reshape(nchunks * GROUP, C)], axis=0)
+    # Condense with row gathers (no padded intermediate): output row j of
+    # chunk `cid` at slot 0 is its sign row, slot k >= 1 is plane e_cid-k
+    # (MSB first).  Sign and plane rows are gathered from their own
+    # sources (a concat would materialize pad+pad+add at full size), and
+    # the tail beyond total_rows is left as garbage — every consumer
+    # reads only words[:count] / offset-addressed rows.
     cap_rows = nchunks * (GROUP + 1)
     marks = jnp.zeros(cap_rows + 1, dtype=jnp.int32).at[offsets].add(
         1, indices_are_sorted=True)
@@ -232,10 +232,12 @@ def encode(q: jax.Array):
     j = jnp.arange(cap_rows, dtype=jnp.int32)
     slot = jnp.clip(j - offsets[cid], 0, GROUP)
     plane_idx = jnp.clip(e[cid] - slot, 0, GROUP - 1)
-    src = jnp.where(slot == 0, cid,
-                    nchunks + cid * GROUP + plane_idx)
-    rows = jnp.take(rows2d, src, axis=0)                        # (cap, C)
-    rows = jnp.where((j < total_rows)[:, None], rows, np.uint32(0))
+    plane_rows = jnp.take(planes_c.reshape(nchunks * GROUP, C),
+                          cid * GROUP + plane_idx, axis=0)       # (cap, C)
+    # sign rows land at each chunk's first output row — a small scatter
+    # of nchunks rows (empty chunks redirect out of bounds and drop)
+    sign_idx = jnp.where(e > 0, offsets, cap_rows)
+    rows = plane_rows.at[sign_idx].set(sign_c, mode="drop")
     return (e.astype(jnp.uint8), rows.reshape(-1),
             (total_rows * C).astype(jnp.int32))
 

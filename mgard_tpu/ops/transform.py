@@ -207,7 +207,26 @@ def _level_dims(hier: Hierarchy, l: int) -> List[int]:
     return [d for d in range(hier.ndim) if hier.shape[d] > 1]
 
 
+def _extract_matrices(hier: Hierarchy, l: int):
+    """Per-dim (nc, n) 0/1 parent-extraction matrices (the embed
+    transpose): bit-exact strided subsampling on the MXU, avoiding the
+    front/tail slice+concat whose pads don't fuse."""
+    cache = getattr(hier, "_extract_mats", None)
+    if cache is None:
+        cache = {}
+        hier._extract_mats = cache
+    if l not in cache:
+        cache[l] = [None if E is None else np.ascontiguousarray(E.T)
+                    for E in _embed_matrices(hier, l)]
+    return cache[l]
+
+
 def _extract_old_all(hier: Hierarchy, A, l: int):
+    if _use_matmul(hier, l) and jnp.issubdtype(A.dtype, jnp.floating):
+        for d, E in zip(_level_dims(hier, l), _extract_matrices(hier, l)):
+            if E is not None:
+                A = _apply_matrix(E, A, d)
+        return A
     for d in _level_dims(hier, l):
         A = extract_old(A, hier.dims[d][l], d)
     return A

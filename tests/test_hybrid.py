@@ -1,0 +1,66 @@
+"""Hybrid (block-local + global) decomposition tests
+(reference HybridHierarchyCompressor.h:31-86, InCacheBlock/)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mgard_tpu
+from mgard_tpu.config import Config, Decomposition
+from mgard_tpu.hierarchy import Hierarchy
+from mgard_tpu.ops import transform_hybrid as th
+from tests.test_compress_e2e import smooth_field
+
+
+@pytest.mark.parametrize("shape,levels", [
+    ((33, 33), 1), ((50, 30), 1), ((40, 40), 2), ((17, 9, 9), 1)])
+def test_exact_inverse(shape, levels):
+    hc = Hierarchy(th.coarse_shape(shape, levels))
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.standard_normal(shape))
+    pyr, det = jax.jit(lambda x: th.decompose_hybrid(hc, x, levels))(v)
+    out = jax.jit(lambda p, d: th.recompose_hybrid(hc, p, d, shape))(pyr, det)
+    assert float(jnp.abs(out - v).max()) < 1e-10
+
+
+def test_detail_zero_at_block_coarse_positions():
+    shape = (16, 16)
+    hc = Hierarchy(th.coarse_shape(shape, 1))
+    v = jnp.asarray(np.random.default_rng(0).standard_normal(shape))
+    _, details = th.decompose_hybrid(hc, v, 1)
+    d = np.asarray(details[0])
+    coarse = np.array([0, 2, 4, 6, 7, 8, 10, 12, 14, 15])
+    assert np.all(d[np.ix_(coarse, coarse)] == 0.0)
+
+
+@pytest.mark.parametrize("tol", [1e-1, 1e-3])
+@pytest.mark.parametrize("k", [1, 2])
+def test_e2e_error_bound(tol, k):
+    shape = (65, 65, 65)
+    v = smooth_field(shape, seed=55).astype(np.float32)
+    cfg = Config(decomposition=Decomposition.HYBRID, num_local_levels=k)
+    buf = mgard_tpu.compress(v, tol, config=cfg)
+    out = mgard_tpu.decompress(buf)
+    assert out.shape == shape
+    assert np.abs(out - v).max() <= tol
+
+
+def test_snorm_rejected():
+    v = smooth_field((33, 33), seed=56).astype(np.float32)
+    cfg = Config(decomposition=Decomposition.HYBRID)
+    with pytest.raises(NotImplementedError):
+        mgard_tpu.compress(v, 1e-3, s=0.0, config=cfg)
+
+
+def test_header_roundtrips_local_levels():
+    v = smooth_field((40, 40), seed=57).astype(np.float32)
+    cfg = Config(decomposition=Decomposition.HYBRID, num_local_levels=2)
+    buf = mgard_tpu.compress(v, 1e-2, config=cfg)
+    from mgard_tpu.io import format as fmt
+    header, _ = fmt.read_container(buf)
+    assert header.decomposition == 3  # 1 + num_local_levels on the wire
+    out = mgard_tpu.decompress(buf)
+    assert np.abs(out - v).max() <= 1e-2

@@ -92,3 +92,56 @@ def test_metadata_roundtrip():
     for a, b in zip(res.metadata.levels, md2.levels):
         assert a.n == b.n and a.exponent == b.exponent
         np.testing.assert_allclose(a.sq_errors, b.sq_errors)
+
+
+def test_negabinary_roundtrip():
+    shape = (17, 17)
+    h = Hierarchy(shape)
+    v = smooth_field(shape, seed=46).astype(np.float64)
+    res = mdr.mdr_refactor(h, v, B=30, encoding=mdr.ENC_NEGABINARY)
+    assert res.metadata.encoding == mdr.ENC_NEGABINARY
+    for tol in (1e-1, 1e-3):
+        out = mdr.mdr_reconstruct(h, res, tol=tol)
+        assert np.abs(out - v).max() <= tol
+
+
+def test_snorm_request_meets_bound():
+    shape = (33, 33)
+    h = Hierarchy(shape)
+    v = smooth_field(shape, seed=47).astype(np.float64)
+    res = mdr.mdr_refactor(h, v, B=30)
+    import jax.numpy as jnp
+    from mgard_tpu.ops import norms
+    for tol in (1e-1, 1e-2, 1e-3):
+        counts = mdr.mdr_request(res.metadata, tol, s=0.0)
+        out = mdr.mdr_reconstruct(h, res, tol=tol, s=0.0)
+        err = float(norms.norm(h, jnp.asarray(out - v), 0.0))
+        assert err <= tol, (tol, err, counts)
+
+
+def test_adaptive_resolution():
+    shape = (33, 33)
+    h = Hierarchy(shape)
+    v = smooth_field(shape, seed=48).astype(np.float64)
+    res = mdr.mdr_refactor(h, v, B=30)
+    for lvl in (h.L - 1, h.L - 2):
+        out = mdr.mdr_reconstruct(h, res, tol=1e-3, target_level=lvl)
+        assert out.shape == h.shapes[lvl]
+    full = mdr.mdr_reconstruct(h, res, tol=1e-3, target_level=h.L)
+    assert full.shape == shape
+
+
+def test_per_plane_lossless_shrinks_retrieval():
+    shape = (65, 65)
+    h = Hierarchy(shape)
+    v = smooth_field(shape, seed=49).astype(np.float64)
+    res_z = mdr.mdr_refactor(h, v, B=30, lossless=mdr.LOSSLESS_ZSTD)
+    res_r = mdr.mdr_refactor(h, v, B=30, lossless=mdr.LOSSLESS_NONE)
+    size_z = sum(len(s) for st in res_z.streams for s in st)
+    size_r = sum(len(s) for st in res_r.streams for s in st)
+    assert size_z < size_r
+    # compressed sizes are recorded and drive the request cost model
+    szs = res_z.metadata.levels[-1].stream_sizes
+    assert szs.sum() > 0
+    out = mdr.mdr_reconstruct(h, res_z, tol=1e-3)
+    assert np.abs(out - v).max() <= 1e-3
