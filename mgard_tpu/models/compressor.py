@@ -31,6 +31,17 @@ from ..ops import bitplane, transform
 from ..ops.quantize import dequantize_blocks, quantize_blocks
 
 
+def _raise_status(status: int) -> None:
+    """Map device-side failure flags to typed errors (the reference's
+    compress_status_type, RuntimeX/DataTypes.h Types.h:56-63)."""
+    if status == 1:
+        raise OverflowError(
+            "quantized coefficients exceed the int32 range — the "
+            "tolerance is too small for this data's dynamic range")
+    if status == 2:
+        raise ValueError("input contains NaN or Inf values")
+
+
 def _block_sizes(hier: Hierarchy) -> List[int]:
     return [int(np.prod(bs)) for (_, _, bs, _) in transform.block_specs(hier)]
 
@@ -95,43 +106,42 @@ class Compressor:
                     "Hybrid decomposition currently supports L-inf "
                     "error control only")
             from ..ops import transform_hybrid as th
-            from ..ops.quantize import round_quantize
             pyr, details = th.decompose_hybrid(self._hybrid_hc, v,
                                                self._hybrid_k)
             inv_q = (1.0 / self._hybrid_quantum(tol)).astype(v.dtype)
             pyr = [p * inv_q for p in pyr]
             details = [d * inv_q for d in details]
-            fine = th.flatten_hybrid(self._hybrid_hc, pyr, details)
-            flat = round_quantize(fine)
+            scaledf = th.flatten_hybrid(self._hybrid_hc, pyr, details)
         elif self.config.decomposition == Decomposition.SINGLEDIM:
-            if not math.isinf(self.s):
-                raise NotImplementedError(
-                    "SingleDim decomposition currently supports L-inf "
-                    "error control only")
             from ..ops import transform_singledim as sd
-            from ..ops.quantize import supremum_quantum
             coarse, slabs = sd.decompose_sd(hier, v)
-            flatf = sd.flatten_slabs(hier, coarse, slabs)
-            inv_q = 1.0 / supremum_quantum(hier, tol).astype(flatf.dtype)
-            scaled = flatf * inv_q
-            flat = jnp.trunc(jnp.copysign(0.5 + jnp.abs(scaled), scaled)
-                             ).astype(jnp.int32)
+            coarse, slabs = sd.scale_slabs(hier, coarse, slabs, self.s, tol)
+            scaledf = sd.flatten_slabs(hier, coarse, slabs)
         elif self.config.layout == Layout.FINE:
-            from ..ops.quantize import round_quantize, scale_pyramid
+            from ..ops.quantize import scale_pyramid
             pyr = transform.decompose(hier, v)
             spyr = scale_pyramid(hier, pyr, self.s, tol)
-            fine = transform.pyramid_to_fine(hier, spyr)
-            flat = round_quantize(fine).reshape(-1)
+            scaledf = transform.pyramid_to_fine(hier, spyr).reshape(-1)
         else:
+            from ..ops.quantize import scale_blocks
             pyr = transform.decompose(hier, v)
             blocks = transform.pyramid_to_blocks(hier, pyr)
-            qblocks = quantize_blocks(hier, blocks, self.s, tol)
-            flat = jnp.concatenate([q.reshape(-1) for q in qblocks])
-        # overflow guard: a quantized magnitude at the int32 ceiling means
-        # the tolerance is too tight for this dynamic range (the reference
-        # throws from LinearQuantizer, LinearQuantizer.tpp:20-26)
-        overflow = jnp.max(jnp.abs(flat)) >= np.int32(2**31 - 1)
-        return flat, overflow
+            sblocks = scale_blocks(hier, blocks, self.s, tol)
+            scaledf = jnp.concatenate([q.reshape(-1) for q in sblocks])
+        # Failure-status guards on the FLOAT stream (after the int cast
+        # overflow saturates or NaN-poisons silently).  Status codes map
+        # to the reference's compress_status_type
+        # (RuntimeX/DataTypes.h Types.h:56-63): 1 = quantized magnitude
+        # past the int32 ceiling (tolerance too tight for the dynamic
+        # range; LinearQuantizer.tpp:20-26 throws), 2 = non-finite input.
+        from ..ops.quantize import round_quantize
+        flat = round_quantize(scaledf)
+        amax = jnp.max(jnp.abs(scaledf))
+        overflow = jnp.logical_not(amax < np.float64(2**31 - 1)
+                                   ).astype(jnp.int32)  # catches NaN too
+        nonfinite = jnp.logical_not(jnp.all(jnp.isfinite(v))
+                                    ).astype(jnp.int32) * 2
+        return flat, jnp.maximum(overflow, nonfinite)
 
     def _flat_to_array(self, flat: jax.Array, tol: jax.Array) -> jax.Array:
         """Dequantize + recompose a flat int32 stream (inverse of
@@ -147,10 +157,9 @@ class Compressor:
                                        hier.shape)
         if self.config.decomposition == Decomposition.SINGLEDIM:
             from ..ops import transform_singledim as sd
-            from ..ops.quantize import supremum_quantum
-            q = supremum_quantum(hier, tol).astype(self.dtype)
-            flatf = flat.astype(self.dtype) * q
-            coarse, slabs = sd.unflatten_slabs(hier, flatf)
+            coarse, slabs = sd.unflatten_slabs(hier, flat)
+            coarse, slabs = sd.unscale_slabs(hier, coarse, slabs, self.s,
+                                             tol, self.dtype)
             return sd.recompose_sd(hier, coarse, slabs)
         if self.config.layout == Layout.FINE:
             from ..ops.quantize import dequantize_pyramid
@@ -215,19 +224,13 @@ class Compressor:
             with Timer("compress (device)", v.nbytes):
                 flat, overflow = self._encode_raw(v, abs_tol)
                 flat_np = np.asarray(flat)
-            if bool(overflow):
-                raise OverflowError(
-                    "quantized coefficients exceed the int32 range — the "
-                    "tolerance is too small for this data's dynamic range")
+            _raise_status(int(overflow))
             sections = [self._host_lossless_encode(flat_np)]
         else:
             with Timer("compress (device)", v.nbytes):
                 exponents, words, count, overflow = self._encode(v, abs_tol)
                 count = int(count)
-            if bool(overflow):
-                raise OverflowError(
-                    "quantized coefficients exceed the int32 range — the "
-                    "tolerance is too small for this data's dynamic range")
+            _raise_status(int(overflow))
             exp_np = np.asarray(exponents)
             words_np = np.asarray(words)[:count]
 

@@ -147,6 +147,27 @@ def dequantize_pyramid(hier: Hierarchy, qpyramid, s: float, tol, dtype):
     return out
 
 
+def scale_blocks(hier: Hierarchy, blocks, s: float, tol):
+    """Per-block inverse-quantum scaling WITHOUT rounding (float stage of
+    :func:`quantize_blocks`; lets callers run the failure-status checks
+    on floats, where overflow is still visible as inf/NaN)."""
+    specs = block_specs(hier)
+    tol = jnp.asarray(tol)
+    out = []
+    for (l, r, bshape, pos), blk in zip(specs, blocks):
+        dt = blk.dtype
+        if math.isinf(s):
+            out.append(blk * (1.0 / supremum_quantum(hier, tol).astype(dt)))
+        else:
+            scale = (2.0 ** (s * l)) * math.sqrt(hier.ndof()) / (2.0 * tol)
+            scaled = blk * scale.astype(dt)
+            for w in _broadcast_outer(
+                    _block_inv_quantum_volume(hier, l, pos), dt):
+                scaled = scaled * w
+            out.append(scaled)
+    return out
+
+
 def quantize_blocks(hier: Hierarchy, blocks, s: float, tol,
                     int_dtype=jnp.int32):
     """Quantize coefficient blocks (aligned with ``block_specs(hier)``).

@@ -96,6 +96,113 @@ def slab_specs(hier: Hierarchy):
     return specs
 
 
+def _slab_volume_vectors(hier: Hierarchy, l: int, d: int):
+    """Per-axis sqrt-volume weight vectors for slab (l, d): axis d sits at
+    the level-l new nodes, axes processed before d are already coarsened
+    (level-l coarse positions), later axes span the full level-l grid
+    (reference levelwise volumes, Hierarchy.h:84 _level_volumes)."""
+    vecs = []
+    for a in range(hier.ndim):
+        if hier.shape[a] == 1:
+            vecs.append(np.ones(1))
+            continue
+        lev = hier.dims[a][l]
+        vol = lev.volumes
+        if a == d:
+            vol = vol[np.asarray(lev.new_pos)]
+        elif a < d and lev.coarse_pos is not None:
+            vol = vol[np.asarray(lev.coarse_pos)]
+        vecs.append(np.sqrt(vol))
+    return vecs
+
+
+def scale_slabs(hier: Hierarchy, coarse, slabs, s: float, tol):
+    """Inverse-quantum scaling of (coarse, slabs) for finite-s (or L-inf)
+    error control — the SingleDim counterpart of quantize.scale_blocks;
+    same levelwise formulas
+    (TensorMultilevelCoefficientQuantizer.tpp:38-54)."""
+    import math as _math
+
+    from .quantize import supremum_quantum
+
+    tol = jnp.asarray(tol)
+    if _math.isinf(s):
+        inv = 1.0 / supremum_quantum(hier, tol).astype(coarse.dtype)
+        return (coarse * inv,
+                [None if sl is None else {d: b * inv for d, b in sl.items()}
+                 for sl in slabs])
+    dt = coarse.dtype
+    sq_ndof = _math.sqrt(hier.ndof())
+
+    def w_apply(blk, vecs, scale):
+        out = blk * scale.astype(dt)
+        for a, w in enumerate(vecs):
+            shp = [1] * blk.ndim
+            shp[a] = len(w)
+            out = out * jnp.asarray(w, dtype=dt).reshape(shp)
+        return out
+
+    cvecs = []
+    for a in range(hier.ndim):
+        if hier.shape[a] == 1:
+            cvecs.append(np.ones(1))
+        else:
+            cvecs.append(np.sqrt(hier.dims[a][0].volumes))
+    out_c = w_apply(coarse, cvecs, sq_ndof / (2.0 * tol))
+    out_slabs: List[dict] = [None] * (hier.L + 1)
+    for l in range(1, hier.L + 1):
+        if slabs[l] is None:
+            continue
+        out_slabs[l] = {}
+        scale = (2.0 ** (s * l)) * sq_ndof / (2.0 * tol)
+        for d, blk in slabs[l].items():
+            out_slabs[l][d] = w_apply(
+                blk, _slab_volume_vectors(hier, l, d), scale)
+    return out_c, out_slabs
+
+
+def unscale_slabs(hier: Hierarchy, coarse, slabs, s: float, tol, dtype):
+    """Inverse of :func:`scale_slabs` (multiplies by the quantum)."""
+    import math as _math
+
+    from .quantize import supremum_quantum
+
+    tol = jnp.asarray(tol)
+    if _math.isinf(s):
+        q = supremum_quantum(hier, tol).astype(dtype)
+        return (coarse.astype(dtype) * q,
+                [None if sl is None else
+                 {d: b.astype(dtype) * q for d, b in sl.items()}
+                 for sl in slabs])
+    sq_ndof = _math.sqrt(hier.ndof())
+
+    def w_unapply(blk, vecs, scale):
+        out = blk.astype(dtype) * scale.astype(dtype)
+        for a, w in enumerate(vecs):
+            shp = [1] * blk.ndim
+            shp[a] = len(w)
+            out = out / jnp.asarray(w, dtype=dtype).reshape(shp)
+        return out
+
+    cvecs = []
+    for a in range(hier.ndim):
+        if hier.shape[a] == 1:
+            cvecs.append(np.ones(1))
+        else:
+            cvecs.append(np.sqrt(hier.dims[a][0].volumes))
+    out_c = w_unapply(coarse, cvecs, (2.0 * tol) / sq_ndof)
+    out_slabs: List[dict] = [None] * (hier.L + 1)
+    for l in range(1, hier.L + 1):
+        if slabs[l] is None:
+            continue
+        out_slabs[l] = {}
+        scale = (2.0 * tol) / ((2.0 ** (s * l)) * sq_ndof)
+        for d, blk in slabs[l].items():
+            out_slabs[l][d] = w_unapply(
+                blk, _slab_volume_vectors(hier, l, d), scale)
+    return out_c, out_slabs
+
+
 def flatten_slabs(hier: Hierarchy, coarse, slabs) -> jax.Array:
     parts = [coarse.reshape(-1)]
     for l in range(1, hier.L + 1):
