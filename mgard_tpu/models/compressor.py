@@ -323,7 +323,7 @@ class Compressor:
                                       int(Lossless.BITPLANE_GROUP_ZSTD))
         # per-group exponent arrays are padded to whole chunks by _to_rows
         n_exp = (bitplane.num_chunks(ndof) * bitplane.CHUNK_GROUPS
-                 if grouped else bitplane.num_chunks(ndof))
+                 if grouped else bitplane.num_chunks_tiled(ndof))
         if header.lossless in (int(Lossless.BITPLANE_ZSTD),
                                int(Lossless.BITPLANE_GROUP_ZSTD)):
             import zstandard

@@ -19,10 +19,12 @@ TPU's execution model:
 Two layouts share the machinery:
 
   ``encode``/``decode`` (chunked, the default): a chunk is 128 groups
-  (4096 values).  A chunk with max-magnitude bit-length ``e`` emits
-  ``1 + e`` rows of 128 words (sign row, then bitplanes MSB->LSB); an
-  all-zero chunk emits nothing.  Perfectly aligned, very fast; exponent
-  granularity is per-chunk.
+  (4096 values), zigzag-mapped so the sign lives in the LSB.  A chunk
+  with max zigzag bit-length ``e`` emits ``e`` rows of 128 words
+  (bitplanes LSB-first) — a contiguous prefix of its transposed planes,
+  which the fused Pallas condense writes with one exact-size DMA per
+  chunk; an all-zero chunk emits nothing.  Perfectly aligned, very
+  fast; exponent granularity is per-chunk.
 
   ``encode_pergroup``/``decode_pergroup``: per-32-value exponents and
   word-granular condense — better ratio, more index math; used where
@@ -58,15 +60,26 @@ __all__ = [
 
 GROUP = 32          # values per group == bits per word
 CHUNK_GROUPS = 128  # groups per chunk == words per emitted row (tile width)
+CHUNK_TILE = 64     # chunks per Pallas grid step (== pallas_kernels.BP_CB);
+#                     chunk counts are padded to this so the fused condense
+#                     kernels see whole tiles and the capacity buffer has
+#                     one tile of DMA headroom
 
 
 def num_chunks(n: int) -> int:
     return -(-(-(-n // GROUP)) // CHUNK_GROUPS)
 
 
+def num_chunks_tiled(n: int) -> int:
+    """Chunk count padded to whole Pallas condense tiles (chunked codec
+    only; the pergroup codec keeps the unrounded count)."""
+    return -(-num_chunks(n) // CHUNK_TILE) * CHUNK_TILE
+
+
 def max_words(n: int) -> int:
-    """Capacity of the word buffer for ``n`` values (worst case 33/32)."""
-    return num_chunks(n) * CHUNK_GROUPS * (GROUP + 1)
+    """Capacity of the word buffer for ``n`` values (worst case 33/32,
+    sized for the tiled chunk count — a superset of the pergroup cap)."""
+    return num_chunks_tiled(n) * CHUNK_GROUPS * (GROUP + 1)
 
 
 def encoded_nbytes(exponents, count):
@@ -142,8 +155,7 @@ def _to_rows(q: jax.Array):
     """int32 (n,) -> sign row (G,), magnitude planes (32, G) LSB-first,
     group count G."""
     n = q.shape[0]
-    ngroups = -(-n // GROUP)
-    nchunks = -(-ngroups // CHUNK_GROUPS)
+    nchunks = num_chunks(n)
     ngroups = nchunks * CHUNK_GROUPS  # pad groups to whole chunks
     pad = ngroups * GROUP - n
     if pad:
@@ -178,6 +190,24 @@ def _from_rows(sign: jax.Array, planes: jax.Array, n: int) -> jax.Array:
 # Chunked codec (default): per-chunk exponents, 128-word aligned rows
 # ---------------------------------------------------------------------------
 
+def _zigzag(q: jax.Array) -> jax.Array:
+    """int32 -> uint32 zigzag: 0,-1,1,-2,2,... -> 0,1,2,3,4,... — folds the
+    sign into the LSB so a chunk's stream is a pure prefix of its
+    transposed bitplanes (no separate sign row; the reference Huffman
+    side-steps this with a signed dictionary, compressors.cpp:316)."""
+    return ((q << 1) ^ (q >> 31)).astype(jnp.uint32)
+
+
+def _unzigzag(z: jax.Array) -> jax.Array:
+    zi = z.astype(jnp.int32)
+    return jax.lax.shift_right_logical(zi, np.int32(1)) ^ -(zi & 1)
+
+
+def _chunk_exponents(zc: jax.Array) -> jax.Array:
+    """Per-chunk exponent: bit length of the max zigzag value."""
+    return _bit_length32(jnp.max(zc, axis=(1, 2)))
+
+
 def encode(q: jax.Array):
     """Encode an int32 vector.
 
@@ -189,55 +219,48 @@ def encode(q: jax.Array):
     (strided within the 4096-value chunk window).  This keeps every array
     in the pipeline at a 128-wide minor axis — no physical transposes, no
     TPU tile padding — and exponent granularity is per-chunk anyway.
+
+    Stream layout: chunk c with exponent e > 0 owns rows
+    [offsets[c], offsets[c]+e): the zigzag bitplanes LSB-first (plane b
+    at slot b).  An all-zero chunk emits nothing.
     """
     n = q.shape[0]
     C = CHUNK_GROUPS
     vals_per_chunk = GROUP * C
-    nchunks = -(-n // vals_per_chunk)
+    nchunks = num_chunks_tiled(n)
     pad = nchunks * vals_per_chunk - n
     if pad:
         q = jnp.concatenate([q, jnp.zeros(pad, dtype=q.dtype)])
-    qc = q.reshape(nchunks, GROUP, C)
-    if _use_pallas():
-        from .pallas_kernels import bp_encode_core
-        planes_c, sign_c, e = bp_encode_core(qc)
-    else:
-        m = jnp.abs(qc).astype(jnp.uint32)
-        neg = (qc < 0).astype(jnp.uint32)
-
-        planes_c = transpose32_mid(m)                # (nc, 32, C) LSB-first
-        sign_c = jnp.zeros((nchunks, C), dtype=jnp.uint32)
-        for i in range(GROUP):
-            sign_c = sign_c | (neg[:, i, :] << np.uint32(i))
-
-        # per-chunk exponent: highest occupied bitplane across the chunk
-        occ = (planes_c != 0).any(axis=2)            # (nc, 32)
-        bit_idx = jnp.arange(1, GROUP + 1, dtype=jnp.int32)[None, :]
-        e = jnp.max(jnp.where(occ, bit_idx, 0), axis=1)  # (nchunks,)
-
-    counts = jnp.where(e > 0, e + 1, 0)              # rows per chunk
-    offsets = jnp.cumsum(counts) - counts
-    total_rows = offsets[-1] + counts[-1]
-
-    # Condense with row gathers (no padded intermediate): output row j of
-    # chunk `cid` at slot 0 is its sign row, slot k >= 1 is plane e_cid-k
-    # (MSB first).  Sign and plane rows are gathered from their own
-    # sources (a concat would materialize pad+pad+add at full size), and
-    # the tail beyond total_rows is left as garbage — every consumer
-    # reads only words[:count] / offset-addressed rows.
+    zc = _zigzag(q.reshape(nchunks, GROUP, C))
     cap_rows = nchunks * (GROUP + 1)
+
+    e = _chunk_exponents(zc)
+    counts = e                                        # rows per chunk
+    ends = jnp.cumsum(counts)
+    offsets = (ends - counts).astype(jnp.int32)
+    total_rows = ends[-1]
+
+    if _use_pallas():
+        from .pallas_kernels import BP_CB, bp_encode_condense
+        assert BP_CB == CHUNK_TILE
+        tile_rows = (ends[CHUNK_TILE - 1::CHUNK_TILE]
+                     - offsets[::CHUNK_TILE]).astype(jnp.int32)
+        rows = bp_encode_condense(zc, offsets, tile_rows, cap_rows)
+        return (e.astype(jnp.uint8), rows.reshape(-1),
+                (total_rows * C).astype(jnp.int32))
+
+    # XLA fallback (CPU tests): transpose, then condense with row gathers.
+    planes_c = transpose32_mid(zc)                   # (nc, 32, C) LSB-first
+    # Output row j of chunk `cid` at slot k is plane k (LSB first).  The
+    # tail beyond total_rows is garbage — every consumer reads only
+    # words[:count] / offset-addressed rows.
     marks = jnp.zeros(cap_rows + 1, dtype=jnp.int32).at[offsets].add(
         1, indices_are_sorted=True)
     cid = jnp.clip(jnp.cumsum(marks[:-1]) - 1, 0, nchunks - 1)
     j = jnp.arange(cap_rows, dtype=jnp.int32)
-    slot = jnp.clip(j - offsets[cid], 0, GROUP)
-    plane_idx = jnp.clip(e[cid] - slot, 0, GROUP - 1)
-    plane_rows = jnp.take(planes_c.reshape(nchunks * GROUP, C),
-                          cid * GROUP + plane_idx, axis=0)       # (cap, C)
-    # sign rows land at each chunk's first output row — a small scatter
-    # of nchunks rows (empty chunks redirect out of bounds and drop)
-    sign_idx = jnp.where(e > 0, offsets, cap_rows)
-    rows = plane_rows.at[sign_idx].set(sign_c, mode="drop")
+    plane_idx = jnp.clip(j - offsets[cid], 0, GROUP - 1)
+    rows = jnp.take(planes_c.reshape(nchunks * GROUP, C),
+                    cid * GROUP + plane_idx, axis=0)             # (cap, C)
     return (e.astype(jnp.uint8), rows.reshape(-1),
             (total_rows * C).astype(jnp.int32))
 
@@ -246,39 +269,32 @@ def decode(exponents: jax.Array, words: jax.Array, n: int) -> jax.Array:
     """Decode back to an int32 vector of length ``n``.
 
     ``exponents``: (nchunks,) uint8; ``words``: uint32 buffer holding the
-    condensed stream (extra zero tail is fine)."""
+    condensed stream, zero-padded to ``max_words(n)`` capacity."""
     nchunks = exponents.shape[0]
     C = CHUNK_GROUPS
     e = exponents.astype(jnp.int32)
-    counts = jnp.where(e > 0, e + 1, 0)
-    offsets = jnp.cumsum(counts) - counts
+    ends = jnp.cumsum(e)
+    offsets = (ends - e).astype(jnp.int32)
     rows = words.reshape(-1, C)
     cap_rows = rows.shape[0]
 
-    sign_idx = jnp.clip(offsets, 0, cap_rows - 1)
-    sign_c = jnp.where((e > 0)[:, None],
-                       jnp.take(rows, sign_idx, axis=0), np.uint32(0))
+    if _use_pallas() and nchunks % CHUNK_TILE == 0 \
+            and cap_rows >= nchunks * (GROUP + 1):
+        from .pallas_kernels import BP_CB, bp_decode_condense
+        assert BP_CB == CHUNK_TILE
+        out = bp_decode_condense(rows, offsets, e)
+        return out.reshape(-1)[:n]
 
-    # plane with LSB-index b of chunk c sits at offsets[c] + e_c - b
+    # plane with LSB-index b of chunk c sits at offsets[c] + b
     b = jnp.arange(GROUP, dtype=jnp.int32)[None, :]
-    idx = offsets[:, None] + e[:, None] - b                     # (nc, 32)
+    idx = offsets[:, None] + b                                  # (nc, 32)
     valid = b < e[:, None]
     idx_c = jnp.clip(idx, 0, cap_rows - 1)
     planes_c = jnp.where(valid[:, :, None],
                          jnp.take(rows, idx_c, axis=0), np.uint32(0))
 
-    if _use_pallas():
-        from .pallas_kernels import bp_decode_core
-        out = bp_decode_core(planes_c, sign_c)
-        return out.reshape(-1)[:n]
-    m = transpose32_mid(planes_c)                    # (nc, 32, C) magnitudes
-    vals = m.astype(jnp.int32)
-    neg_rows = []
-    for i in range(GROUP):
-        neg = (sign_c >> np.uint32(i)) & np.uint32(1)
-        neg_rows.append(jnp.where(neg == 1, -vals[:, i, :], vals[:, i, :]))
-    out = jnp.stack(neg_rows, axis=1)                # (nc, 32, C)
-    return out.reshape(-1)[:n]
+    z = transpose32_mid(planes_c)                    # (nc, 32, C) zigzag
+    return _unzigzag(z).reshape(-1)[:n]
 
 
 # ---------------------------------------------------------------------------
