@@ -1,6 +1,9 @@
 """Headline benchmark: encode+decode throughput on a 3-D float32 field.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Extra keys carry the compression ratio of the benched configuration and
+a same-field size comparison against the compiled reference (ratio
+parity and throughput measured at the same point — round-2 review item).
 
 Baseline: MGARD-X CUDA single-GPU end-to-end compression throughput on 3-D
 float fields. The reference repo publishes figures only (doc/MGARD-X.md:279,
@@ -9,16 +12,27 @@ end-to-end (compress+decompress) throughput in the ~5-15 GB/s range at
 eb=1e-3. We take 10 GB/s as the comparison point (BASELINE.md).
 
 Timing notes: through the tunneled TPU backend, block_until_ready() does
-not reliably await device completion, so each measurement forces a host
-readback of a value that depends on the computation, and the reported
-time is the slope between N1 and N2 back-to-back calls (fixed sync
-overhead cancels; device execution is serial per queue).
+not reliably await device completion, and per-buffer readbacks can
+return before sibling buffers are finished; each measurement therefore
+folds one element of EVERY output leaf through a jitted reduction and
+reads that back, and the reported time is the slope between N1 and N2
+back-to-back calls (fixed sync overhead cancels; device execution is
+serial per queue).
+
+Host tails (readback of the compressed words, container assembly) are
+excluded from the headline: the tunneled host<->device link runs at
+~1 MB/s, six orders of magnitude below a real TPU host's PCIe/DMA path,
+so including it would measure the tunnel, not the design.  The end-to-end
+`compress()` path (bytes in -> container bytes out) is exercised at a
+small size and reported on stderr instead.
 """
 
 import json
 import math
 import os
+import pathlib
 import signal
+import subprocess
 import sys
 import time
 
@@ -29,6 +43,7 @@ BASELINE_GBPS = 10.0
 # remote-compile tunnel; a wedged compile service can hang indefinitely, so
 # each size gets an alarm and the bench falls back to the next size.
 SIZE_BUDGET_S = int(os.environ.get("MGARD_BENCH_SIZE_BUDGET", "420"))
+PARITY_BUDGET_S = int(os.environ.get("MGARD_BENCH_PARITY_BUDGET", "300"))
 
 
 class _Timeout(Exception):
@@ -58,14 +73,41 @@ def smooth_field_device(shape, dtype):
     return f
 
 
+def smooth_field_host(shape):
+    x = [np.linspace(0.0, 1.0, s, dtype=np.float32) for s in shape]
+    f = np.zeros(shape, dtype=np.float32)
+    for k in (1, 3, 7):
+        term = np.ones(shape, dtype=np.float32)
+        for d, xx in enumerate(x):
+            shp = [1] * len(shape)
+            shp[d] = len(xx)
+            term = term * np.cos(np.pi * k * xx + 0.1 * k * (d + 1)
+                                 ).reshape(shp)
+        f = f + term / k
+    rng = np.random.default_rng(0)
+    return (f + 0.001 * rng.standard_normal(shape).astype(np.float32)
+            ).astype(np.float32)
+
+
+_FOLD = None
+
+
 def _sync(out):
     import jax
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    picker = jax.jit(lambda a: a.reshape(-1)[0])
-    return np.asarray(picker(leaf))
+    import jax.numpy as jnp
+    global _FOLD
+    if _FOLD is None:
+        @jax.jit
+        def fold(*ls):
+            acc = jnp.zeros((), jnp.float32)
+            for leaf in ls:
+                acc = acc + leaf.reshape(-1)[0].astype(jnp.float32)
+            return acc
+        _FOLD = fold
+    return np.asarray(_FOLD(*jax.tree_util.tree_leaves(out)))
 
 
-def timed(fn, *args, n1=2, n2=8):
+def timed(fn, *args, n1=3, n2=13):
     _sync(fn(*args))  # warmup/compile
 
     def run(n):
@@ -79,6 +121,39 @@ def timed(fn, *args, n1=2, n2=8):
     t1 = run(n1)
     t2 = run(n2)
     return max((t2 - t1) / (n2 - n1), 1e-9)
+
+
+def reference_parity(extra):
+    """Same-field container-size comparison against the compiled
+    reference oracle (tools/build_reference_oracle.sh).  Fills
+    extra["ref_bytes"/"ours_bytes"/"size_vs_ref"] or leaves them None."""
+    import tempfile
+
+    import mgard_tpu
+    from mgard_tpu.config import Config, Lossless
+
+    oracle = pathlib.Path("/tmp/mgard_oracle")
+    if not oracle.exists():
+        script = pathlib.Path(__file__).parent / "tools" / \
+            "build_reference_oracle.sh"
+        subprocess.run(["bash", str(script)], check=True,
+                       capture_output=True, timeout=PARITY_BUDGET_S - 30)
+    shape = (256, 256, 256)
+    v = smooth_field_host(shape)
+    with tempfile.TemporaryDirectory() as td:
+        raw = pathlib.Path(td) / "in.bin"
+        out = pathlib.Path(td) / "out.mgard"
+        v.tofile(raw)
+        subprocess.run([str(oracle), "compress", str(raw), str(out),
+                        "float32", "1e-3", "inf",
+                        *(str(s) for s in shape)], check=True, timeout=240)
+        ref_bytes = out.stat().st_size
+    ours = len(mgard_tpu.compress(
+        v, 1e-3, config=Config(lossless=Lossless.BITPLANE_GROUP_ZSTD)))
+    extra["parity_shape"] = list(shape)
+    extra["ref_bytes"] = ref_bytes
+    extra["ours_bytes"] = ours
+    extra["size_vs_ref"] = round(ours / ref_bytes, 4)
 
 
 def main():
@@ -99,6 +174,7 @@ def main():
     from mgard_tpu.models.compressor import Compressor
 
     signal.signal(signal.SIGALRM, _alarm)
+    result = None
     for edge in (512, 256, 128):
         shape = (edge, edge, edge)
         signal.alarm(SIZE_BUDGET_S)
@@ -128,19 +204,56 @@ def main():
             assert err <= 1e-3, "error bound violated in bench"
 
             signal.alarm(0)
-            print(json.dumps({
+            result = {
                 "metric": f"encode+decode GB/s/chip, {edge}^3 f32, eb=1e-3",
                 "value": round(gbps, 3),
                 "unit": "GB/s",
                 "vs_baseline": round(gbps / BASELINE_GBPS, 3),
-            }))
-            return
+                "t_enc_ms": round(t_enc * 1e3, 2),
+                "t_dec_ms": round(t_dec * 1e3, 2),
+                "ratio": round(ratio, 3),
+                "max_err": err,
+            }
+            break
         except (_Timeout, Exception) as exc:  # noqa: BLE001
             signal.alarm(0)
             print(f"# {shape} failed: {type(exc).__name__}: "
                   f"{str(exc)[:300]}", file=sys.stderr)
             continue
-    raise SystemExit("all bench sizes failed")
+    if result is None:
+        raise SystemExit("all bench sizes failed")
+
+    # end-to-end container path (bytes in -> bytes out incl. host tails)
+    # at a size where the ~1 MB/s tunnel readback stays small
+    signal.alarm(120)
+    try:
+        import mgard_tpu
+        small = smooth_field_host((128, 128, 128))
+        mgard_tpu.compress(small, 1e-3)  # warm cache/compile
+        t0 = time.perf_counter()
+        buf = mgard_tpu.compress(small, 1e-3)
+        t_e2e = time.perf_counter() - t0
+        print(f"# e2e compress() 128^3 (incl host tails via tunnel): "
+              f"{t_e2e*1e3:.0f}ms, {len(buf)} bytes", file=sys.stderr)
+        signal.alarm(0)
+    except (_Timeout, Exception) as exc:  # noqa: BLE001
+        signal.alarm(0)
+        print(f"# e2e path failed: {str(exc)[:200]}", file=sys.stderr)
+
+    # same-field size parity vs the compiled reference
+    signal.alarm(PARITY_BUDGET_S)
+    try:
+        reference_parity(result)
+        print(f"# parity: ours={result['ours_bytes']} "
+              f"ref={result['ref_bytes']} "
+              f"size_vs_ref={result['size_vs_ref']}", file=sys.stderr)
+        signal.alarm(0)
+    except (_Timeout, Exception) as exc:  # noqa: BLE001
+        signal.alarm(0)
+        result.setdefault("size_vs_ref", None)
+        print(f"# parity skipped: {str(exc)[:200]}", file=sys.stderr)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

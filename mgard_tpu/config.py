@@ -32,6 +32,14 @@ class Layout(enum.IntEnum):
     FINE = 0          # fine-grid physical order (reference reorder=0);
                       # decode is one even reshape + stride-2 slices
     LEVEL_BLOCKS = 1  # region-blocked level-major (reference reorder=1)
+    PYRAMID = 2       # dense level arrays concatenated coarsest-first
+                      # (level-major like reorder=1, but parent positions
+                      # stay as explicit zeros).  ~14% more raw values in
+                      # 3-D, but the fine-grid gather/scatter assembly
+                      # disappears from BOTH sides (encode skips
+                      # pyramid_to_fine, decode unflattens with free
+                      # slices) and chunks become level-pure, which the
+                      # per-chunk exponents reward with a better ratio.
 
 
 class ErrorMode(enum.IntEnum):
@@ -46,7 +54,7 @@ class Config:
     # Block-local levels for Decomposition.HYBRID (reference
     # config.num_local_refactoring_level, Config.cpp:40).
     num_local_levels: int = 1
-    layout: Layout = Layout.FINE
+    layout: Layout = Layout.PYRAMID
     zstd_level: int = 1
     # Threshold (bytes of input) above which compress() splits the domain
     # into blocks (reference DomainDecomposer triggers on the device-memory

@@ -69,6 +69,10 @@ class Compressor:
         self._hybrid_k = 0
         self._hybrid_hc = None
         self._nstream = hier.ndof()
+        if self.config.decomposition == Decomposition.MULTIDIM \
+                and self.config.layout == Layout.PYRAMID:
+            self._nstream = sum(
+                int(np.prod(hier.shapes[l])) for l in range(hier.L + 1))
         if self.config.decomposition == Decomposition.HYBRID:
             from ..ops import transform_hybrid as th
             self._hybrid_k = max(1, int(self.config.num_local_levels))
@@ -117,6 +121,11 @@ class Compressor:
             coarse, slabs = sd.decompose_sd(hier, v)
             coarse, slabs = sd.scale_slabs(hier, coarse, slabs, self.s, tol)
             scaledf = sd.flatten_slabs(hier, coarse, slabs)
+        elif self.config.layout == Layout.PYRAMID:
+            from ..ops.quantize import scale_pyramid
+            pyr = transform.decompose(hier, v)
+            spyr = scale_pyramid(hier, pyr, self.s, tol)
+            scaledf = jnp.concatenate([p.reshape(-1) for p in spyr])
         elif self.config.layout == Layout.FINE:
             from ..ops.quantize import scale_pyramid
             pyr = transform.decompose(hier, v)
@@ -161,6 +170,17 @@ class Compressor:
             coarse, slabs = sd.unscale_slabs(hier, coarse, slabs, self.s,
                                              tol, self.dtype)
             return sd.recompose_sd(hier, coarse, slabs)
+        if self.config.layout == Layout.PYRAMID:
+            from ..ops.quantize import dequantize_pyramid
+            qpyr = []
+            off = 0
+            for l in range(hier.L + 1):
+                size = int(np.prod(hier.shapes[l]))
+                qpyr.append(jax.lax.slice_in_dim(
+                    flat, off, off + size).reshape(hier.shapes[l]))
+                off += size
+            pyr = dequantize_pyramid(hier, qpyr, self.s, tol, self.dtype)
+            return transform.recompose(hier, pyr)
         if self.config.layout == Layout.FINE:
             from ..ops.quantize import dequantize_pyramid
             fine = flat.reshape(hier.shape)
@@ -234,6 +254,12 @@ class Compressor:
             exp_np = np.asarray(exponents)
             words_np = np.asarray(words)[:count]
 
+            # Trailing all-zero chunks/groups carry no stream rows; drop
+            # their exponent bytes (the decoder zero-fills back to the
+            # static count) — with 32k-value chunks the padding would
+            # otherwise dominate small containers.
+            nz = np.nonzero(exp_np)[0]
+            exp_np = exp_np[:int(nz[-1]) + 1] if len(nz) else exp_np[:0]
             exp_bytes = exp_np.tobytes()
             word_bytes = words_np.astype("<u4").tobytes()
             if lossless in (Lossless.BITPLANE_ZSTD,
@@ -331,7 +357,9 @@ class Compressor:
             exp_bytes = dctx.decompress(exp_bytes, max_output_size=n_exp)
             word_bytes = dctx.decompress(
                 word_bytes, max_output_size=4 * bitplane.max_words(ndof))
-        exponents = np.frombuffer(exp_bytes, dtype=np.uint8)
+        exponents = np.zeros(n_exp, dtype=np.uint8)
+        stored_exp = np.frombuffer(exp_bytes, dtype=np.uint8)
+        exponents[:len(stored_exp)] = stored_exp
         words = np.frombuffer(word_bytes, dtype="<u4")
         cap = bitplane.max_words(ndof)
         words_full = np.zeros(cap, dtype=np.uint32)

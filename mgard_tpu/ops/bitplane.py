@@ -59,8 +59,18 @@ __all__ = [
 ]
 
 GROUP = 32          # values per group == bits per word
-CHUNK_GROUPS = 128  # groups per chunk == words per emitted row (tile width)
-CHUNK_TILE = 64     # chunks per Pallas grid step (== pallas_kernels.BP_CB);
+CHUNK_GROUPS = 1024  # groups per chunk == words per emitted plane row.
+#                     Sized so (a) the fused kernels, which are
+#                     DMA-dispatch-bound (~0.3 us per chunk), issue few,
+#                     large transfers, and (b) one bitplane of one chunk
+#                     is exactly a (8, 128) int32 TPU tile, so the word
+#                     buffer is (rows, 8, 128) and per-chunk DMAs slice
+#                     only the UNTILED outer dim — arbitrary stream
+#                     offsets, no alignment constraints for Mosaic to
+#                     prove.  In the FINE physical-order layout every
+#                     chunk mixes levels anyway, so the coarser exponent
+#                     granularity costs almost nothing.
+CHUNK_TILE = 8      # chunks per Pallas grid step (== pallas_kernels.BP_CB);
 #                     chunk counts are padded to this so the fused condense
 #                     kernels see whole tiles and the capacity buffer has
 #                     one tile of DMA headroom
@@ -241,8 +251,8 @@ def encode(q: jax.Array):
     total_rows = ends[-1]
 
     if _use_pallas():
-        from .pallas_kernels import BP_CB, bp_encode_condense
-        assert BP_CB == CHUNK_TILE
+        from .pallas_kernels import BP_CB, BP_W, bp_encode_condense
+        assert BP_CB == CHUNK_TILE and BP_W == CHUNK_GROUPS
         tile_rows = (ends[CHUNK_TILE - 1::CHUNK_TILE]
                      - offsets[::CHUNK_TILE]).astype(jnp.int32)
         rows = bp_encode_condense(zc, offsets, tile_rows, cap_rows)
@@ -280,8 +290,8 @@ def decode(exponents: jax.Array, words: jax.Array, n: int) -> jax.Array:
 
     if _use_pallas() and nchunks % CHUNK_TILE == 0 \
             and cap_rows >= nchunks * (GROUP + 1):
-        from .pallas_kernels import BP_CB, bp_decode_condense
-        assert BP_CB == CHUNK_TILE
+        from .pallas_kernels import BP_CB, BP_W, bp_decode_condense
+        assert BP_CB == CHUNK_TILE and BP_W == CHUNK_GROUPS
         out = bp_decode_condense(rows, offsets, e)
         return out.reshape(-1)[:n]
 

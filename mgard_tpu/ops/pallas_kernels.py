@@ -119,8 +119,10 @@ _BP_MASKS = [np.uint32(0x0000FFFF), np.uint32(0x00FF00FF),
              np.uint32(0x55555555)]
 _BP_SHIFTS = [16, 8, 4, 2, 1]
 # Chunks per grid step.
-# 64 fits double-buffered in+out tiles and kernel temps in 16 MB VMEM.
-BP_CB = 64
+# With 1024-group chunks, 8 chunks per step keeps double-buffered in
+# tiles + planes scratch + temps within VMEM (each (8, 32, 8, 128) u32
+# buffer is 1 MB).
+BP_CB = 8
 
 
 def _butterfly_rows(rows):
@@ -198,20 +200,33 @@ def bp_encode_core(qc: jax.Array):
 # ~2.2 GB of HBM traffic per 512^3 encode and ran at ~30 GB/s effective
 # (37.9 ms measured) — over half the encode budget.  These kernels read
 # the zigzag chunks once, butterfly-transpose them in VMEM (all vector
-# work on (BP_CB, 32, 128)-aligned tiles), and move each chunk's
-# bitplane prefix with ONE exact-size DMA between the aligned planes
-# scratch and the chunk's stream rows — the DMA engine handles the
-# unaligned stream offsets that scalarize catastrophically as vector
-# ops (~76 us per chunk measured for a dynamic sublane store).
+# work on tile-aligned slabs), and move each chunk's bitplane prefix
+# with ONE exact-size DMA between the aligned planes scratch and the
+# chunk's stream rows — the DMA engine handles the arbitrary stream
+# offsets that scalarize catastrophically as vector ops (~76 us per
+# chunk measured for a dynamic sublane store).
+#
+# Layout trick that makes the DMAs legal AND cheap: one bitplane of one
+# 32768-value chunk is exactly 1024 words = one (8, 128) int32 TPU
+# tile, so the word buffer is shaped (rows, 8, 128) and every DMA
+# slices only the UNTILED outer dim — Mosaic accepts arbitrary dynamic
+# offsets there (a (rows, W) buffer with W > 128 gets sublane-tiled and
+# rejects offsets it cannot prove divisible by 8).
 #
 # Stream layout contract (shared with the XLA fallback in ops/bitplane.py):
-# chunk c with zigzag exponent e > 0 owns rows [offsets[c], offsets[c]+e)
-# of the word buffer — bitplane b at slot b (LSB-first).  Exact sizes
+# chunk c with zigzag exponent e > 0 owns plane-rows
+# [offsets[c], offsets[c]+e) — bitplane b at slot b (LSB-first), each
+# plane row 1024 words in row-major (8, 128) order, which equals the
+# flat order of the XLA fallback's (rows, 1024) condense.  Exact sizes
 # keep all writes disjoint, so every chunk DMA in a tile (and across
 # tiles) can be in flight concurrently; a second pass waits on all of
-# them before the grid step returns.
+# them before the grid step returns.  Encode sizes go through a 33-way
+# lax.switch; decode reads a FIXED 32 rows per chunk (overlapping reads
+# are harmless and the capacity buffer has 33 rows/chunk of headroom),
+# so it needs no switch at all.
 
 _META_ROWS = 8         # SMEM block sublane quantum
+BP_W = 1024            # == bitplane.CHUNK_GROUPS; one plane = (8, 128)
 
 
 def _pack_meta(offsets: jax.Array, ntiles: int,
@@ -234,9 +249,8 @@ def _pack_meta(offsets: jax.Array, ntiles: int,
     return meta
 
 
-def _chunk_dma_loop(meta_ref, planes_ref, words_ref, sems, to_out: bool,
-                    action: str) -> None:
-    """Per-chunk exact-size DMA between planes scratch and the stream.
+def _enc_dma_loop(meta_ref, planes_ref, out_ref, sems, action: str) -> None:
+    """Per-chunk exact-size DMA from planes scratch to the stream.
 
     ``action``: 'start' or 'wait' — two passes over the tile's chunks so
     all BP_CB transfers (disjoint by exact sizing) fly concurrently.
@@ -254,11 +268,10 @@ def _chunk_dma_loop(meta_ref, planes_ref, words_ref, sems, to_out: bool,
             def br():
                 if j == 0:
                     return
-                src = planes_ref.at[c, pl.ds(0, j)]
-                dst = words_ref.at[pl.ds(off, j)]
-                if not to_out:
-                    src, dst = dst, src
-                dma = pltpu.make_async_copy(src, dst, sems.at[c])
+                dma = pltpu.make_async_copy(
+                    planes_ref.at[c, pl.ds(0, j)],
+                    out_ref.at[pl.ds(off, j)],
+                    sems.at[c])
                 if action == 'start':
                     dma.start()
                 else:
@@ -272,27 +285,28 @@ def _chunk_dma_loop(meta_ref, planes_ref, words_ref, sems, to_out: bool,
 
 
 def _bp_enc_condense_kernel(meta_ref, q_ref, out_ref, planes_ref, sems):
-    z = q_ref[:]                                   # (CB, 32, 128) uint32
-    rows = _butterfly_rows([z[:, i, :] for i in range(32)])
+    z = q_ref[:]                                   # (CB, 32, 8, 128) uint32
+    rows = _butterfly_rows([z[:, i] for i in range(32)])
     planes_ref[:] = jnp.stack(rows, axis=1)
-    _chunk_dma_loop(meta_ref, planes_ref, out_ref, sems, True, 'start')
-    _chunk_dma_loop(meta_ref, planes_ref, out_ref, sems, True, 'wait')
+    _enc_dma_loop(meta_ref, planes_ref, out_ref, sems, 'start')
+    _enc_dma_loop(meta_ref, planes_ref, out_ref, sems, 'wait')
 
 
 def bp_encode_condense(zc: jax.Array, offsets: jax.Array,
                        tile_rows: jax.Array, cap_rows: int) -> jax.Array:
     """Fused transpose+condense encode.
 
-    ``zc``: (nchunks, 32, 128) uint32 zigzag values with nchunks a
-    multiple of BP_CB; ``offsets``: (nchunks,) int32 stream row offsets;
-    ``tile_rows``: (nchunks // BP_CB,) int32 total rows per tile.
-    Returns the condensed (cap_rows, 128) uint32 word buffer (tail
-    garbage past the total row count).
+    ``zc``: (nchunks, 32, BP_W) uint32 zigzag values with nchunks a
+    multiple of BP_CB; ``offsets``: (nchunks,) int32 stream plane-row
+    offsets; ``tile_rows``: (nchunks // BP_CB,) int32 total rows per
+    tile.  Returns the condensed (cap_rows, 8, 128) uint32 word buffer
+    (tail garbage past the total row count).
     """
     nc = zc.shape[0]
     assert nc % BP_CB == 0
     ntiles = nc // BP_CB
     grid = (ntiles,)
+    zc4 = zc.reshape(nc, 32, 8, 128)
     # total stream rows = last tile's base + its row count
     total = offsets[(ntiles - 1) * BP_CB] + tile_rows[-1]
     meta = _pack_meta(offsets, ntiles, total)
@@ -302,26 +316,47 @@ def bp_encode_condense(zc: jax.Array, offsets: jax.Array,
         in_specs=[
             pl.BlockSpec((_META_ROWS, 128), lambda i: (i // _META_ROWS, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((BP_CB, 32, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((BP_CB, 32, 8, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((cap_rows, 128), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((cap_rows, 8, 128), jnp.uint32),
         scratch_shapes=[
-            pltpu.VMEM((BP_CB, 32, 128), jnp.uint32),
+            pltpu.VMEM((BP_CB, 32, 8, 128), jnp.uint32),
             pltpu.SemaphoreType.DMA((BP_CB,)),
         ],
-    )(meta, zc)
+    )(meta, zc4)
+
+
+def _dec_dma_loop(meta_ref, planes_ref, words_ref, sems,
+                  action: str) -> None:
+    """Fixed-size 32-row read per chunk (reads may overlap; garbage
+    planes past a chunk's exponent are masked by the caller)."""
+    row = pl.program_id(0) % _META_ROWS
+
+    def body(c, _):
+        off = meta_ref[row, c]
+        dma = pltpu.make_async_copy(
+            words_ref.at[pl.ds(off, 32)],
+            planes_ref.at[c],
+            sems.at[c])
+        if action == 'start':
+            dma.start()
+        else:
+            dma.wait()
+        return 0
+
+    jax.lax.fori_loop(0, BP_CB, body, 0)
 
 
 def _bp_dec_condense_kernel(meta_ref, e_ref, words_ref, out_ref,
                             planes_ref, sems):
-    _chunk_dma_loop(meta_ref, planes_ref, words_ref, sems, False, 'start')
-    _chunk_dma_loop(meta_ref, planes_ref, words_ref, sems, False, 'wait')
-    e = e_ref[:]                                   # (CB, 128) int32
-    b_idx = jax.lax.broadcasted_iota(jnp.int32, (BP_CB, 32, 128), 1)
-    planes = jnp.where(b_idx < e[:, None, :], planes_ref[:], np.uint32(0))
-    rows = _butterfly_rows([planes[:, i, :] for i in range(32)])
+    _dec_dma_loop(meta_ref, planes_ref, words_ref, sems, 'start')
+    _dec_dma_loop(meta_ref, planes_ref, words_ref, sems, 'wait')
+    e = e_ref[:]                                   # (CB, 8, 128) int32
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, (BP_CB, 32, 8, 128), 1)
+    planes = jnp.where(b_idx < e[:, None], planes_ref[:], np.uint32(0))
+    rows = _butterfly_rows([planes[:, i] for i in range(32)])
     z = jnp.stack(rows, axis=1).astype(jnp.int32)
     out_ref[:] = jax.lax.shift_right_logical(z, np.int32(1)) ^ -(z & 1)
 
@@ -330,36 +365,39 @@ def bp_decode_condense(words2d: jax.Array, offsets: jax.Array,
                        e: jax.Array) -> jax.Array:
     """Inverse of :func:`bp_encode_condense`.
 
-    ``words2d``: (cap_rows, 128) uint32 condensed stream (capacity from
+    ``words2d``: (cap_rows, BP_W) uint32 condensed stream (capacity from
     bitplane.max_words); ``e``: (nchunks,) int32 per-chunk exponents.
-    Returns (nchunks, 32, 128) int32 values (zigzag already undone).
+    Returns (nchunks, 32, BP_W) int32 values (zigzag already undone).
     """
     nc = offsets.shape[0]
     assert nc % BP_CB == 0
     ntiles = nc // BP_CB
-    e_b = jnp.broadcast_to(e[:, None], (nc, 128)).astype(jnp.int32)
+    cap_rows = words2d.shape[0]
+    words4 = words2d.reshape(cap_rows, 8, 128)
+    e_b = jnp.broadcast_to(e[:, None, None], (nc, 8, 128)).astype(jnp.int32)
     grid = (ntiles,)
     total = offsets[(ntiles - 1) * BP_CB] \
         + jnp.sum(e[(ntiles - 1) * BP_CB:]).astype(jnp.int32)
     meta = _pack_meta(offsets, ntiles, total)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _bp_dec_condense_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((_META_ROWS, 128), lambda i: (i // _META_ROWS, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((BP_CB, 128), lambda i: (i, 0),
+            pl.BlockSpec((BP_CB, 8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((BP_CB, 32, 128), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((BP_CB, 32, 8, 128), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nc, 32, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nc, 32, 8, 128), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((BP_CB, 32, 128), jnp.uint32),
+            pltpu.VMEM((BP_CB, 32, 8, 128), jnp.uint32),
             pltpu.SemaphoreType.DMA((BP_CB,)),
         ],
-    )(meta, e_b, words2d)
+    )(meta, e_b, words4)
+    return out.reshape(nc, 32, BP_W)
 
 
 def _bp_decode_kernel(planes_ref, sign_ref, out_ref):

@@ -223,10 +223,8 @@ def _extract_matrices(hier: Hierarchy, l: int):
 
 def _extract_old_all(hier: Hierarchy, A, l: int):
     if _use_matmul(hier, l) and jnp.issubdtype(A.dtype, jnp.floating):
-        for d, E in zip(_level_dims(hier, l), _extract_matrices(hier, l)):
-            if E is not None:
-                A = _apply_matrix(E, A, d)
-        return A
+        return _apply_matrix_chain(A, _extract_matrices(hier, l),
+                                   _level_dims(hier, l))
     for d in _level_dims(hier, l):
         A = extract_old(A, hier.dims[d][l], d)
     return A
@@ -234,10 +232,8 @@ def _extract_old_all(hier: Hierarchy, A, l: int):
 
 def _prolong_all(hier: Hierarchy, C, l: int):
     if _use_matmul(hier, l):
-        for d, P in zip(_level_dims(hier, l), _prolong_matrices(hier, l)):
-            if P is not None:
-                C = _apply_matrix(P, C, d)
-        return C
+        return _apply_matrix_chain(C, _prolong_matrices(hier, l),
+                                   _level_dims(hier, l))
     for d in _level_dims(hier, l):
         C = prolong(C, hier.dims[d][l], d)
     return C
@@ -260,6 +256,17 @@ def _prolong_all(hier: Hierarchy, C, l: int):
 # ~10 GB of HBM pad traffic per 512^3 encode).
 _MATMUL_MAX_N = 4096
 _SOLVER = os.environ.get("MGARD_TPU_SOLVER", "matmul")
+# MXU passes per f32 matmul: HIGHEST = 6x bf16 (bit-exact f32), HIGH =
+# 3x bf16.  Measured on hardware: HIGH is NOT bit-exact even for 0/1
+# selection matrices (the 3-pass scheme drops cross terms), and its
+# ~2^-16-relative noise on decode-side operators would eat the error
+# bound at tight tolerances — so the default stays HIGHEST and the
+# throughput work goes into keeping memory-bound stencil ops off the
+# MXU instead.  The knob remains for experiments.
+_PRECISION = {
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[os.environ.get("MGARD_TPU_MATMUL_PRECISION", "highest")]
 
 
 def _mass_matrix_np(h: np.ndarray) -> np.ndarray:
@@ -326,9 +333,42 @@ def _apply_matrix(K: np.ndarray, B: jax.Array, axis: int) -> jax.Array:
     Kj = jnp.asarray(K, dtype=B.dtype)
     out = jax.lax.dot_general(
         Kj, B, dimension_numbers=(((1,), (axis,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_PRECISION,
         preferred_element_type=B.dtype)
     return jnp.moveaxis(out, 0, axis)
+
+
+def _apply_matrix_chain(B: jax.Array, mats, dims) -> jax.Array:
+    """Contract axis ``dims[i]`` of B with ``mats[i]`` ((out, in) each,
+    None entries skipped) while avoiding physical transposes.
+
+    ``dot_general`` appends the rhs free dim LAST, so contracting the
+    dims in ascending order makes each contraction rotate its axis to
+    the end and the final order come back to identity whenever every
+    dim is refined — the per-matmul ``moveaxis`` the naive form needs
+    (a full HBM copy each; 2 of 3 at 512^3) disappears.  A single
+    restoring transpose remains only when some dims are skipped.
+    """
+    order = list(range(B.ndim))
+    for d, M in zip(dims, mats):
+        if M is None:
+            continue
+        p = order.index(d)
+        Mj = jnp.asarray(M, dtype=B.dtype)
+        if p == 0:
+            B = jax.lax.dot_general(
+                Mj, B, dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=_PRECISION, preferred_element_type=B.dtype)
+            # order unchanged: the contracted dim stays in front
+        else:
+            B = jax.lax.dot_general(
+                B, Mj, dimension_numbers=(((p,), (1,)), ((), ())),
+                precision=_PRECISION, preferred_element_type=B.dtype)
+            order = order[:p] + order[p + 1:] + [d]
+    ident = list(range(B.ndim))
+    if order != ident:
+        B = jnp.transpose(B, [order.index(i) for i in ident])
+    return B
 
 
 def _use_matmul(hier: Hierarchy, l: int) -> bool:
@@ -415,10 +455,7 @@ def _correction(hier: Hierarchy, detail, l: int):
     B = detail
     if _SOLVER == "matmul" and all(
             hier.dims[d][l].n <= _MATMUL_MAX_N for d in dims):
-        for d, K in zip(dims, _correction_matrices(hier, l)):
-            if K is not None:
-                B = _apply_matrix(K, B, d)
-        return B
+        return _apply_matrix_chain(B, _correction_matrices(hier, l), dims)
     for d in dims:
         B = mass_apply(B, hier.dims[d][l].h, d)
         B = restrict(B, hier.dims[d][l], d)
@@ -530,10 +567,8 @@ def _embed_old(hier: Hierarchy, A: jax.Array, l: int) -> jax.Array:
     selection matmul per dim on the MXU (interior pads don't fuse on
     TPU and cost full-array HBM round-trips each)."""
     if _use_matmul(hier, l) and jnp.issubdtype(A.dtype, jnp.floating):
-        for d, E in zip(_level_dims(hier, l), _embed_matrices(hier, l)):
-            if E is not None:
-                A = _apply_matrix(E, A, d)
-        return A
+        return _apply_matrix_chain(A, _embed_matrices(hier, l),
+                                   _level_dims(hier, l))
     for d in _level_dims(hier, l):
         lev = hier.dims[d][l]
         zero = jnp.zeros((), dtype=A.dtype)

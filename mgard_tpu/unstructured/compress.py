@@ -61,7 +61,9 @@ def compress(hier: UniformMeshHierarchy, u, s: float,
     if int(jnp.max(jnp.abs(scaled))) >= 2 ** 31 - 1:
         raise OverflowError("tolerance too small for data range")
     exps, words, count = bitplane.encode_pergroup(ints)
-    exp_np = np.asarray(exps).tobytes()
+    exp_full = np.asarray(exps)
+    nz = np.nonzero(exp_full)[0]
+    exp_np = exp_full[:int(nz[-1]) + 1].tobytes() if len(nz) else b""
     word_np = np.asarray(words)[: int(count)].astype("<u4").tobytes()
     head = _MAGIC + struct.pack(
         "<ddqII", float(s), float(tolerance), hier.ndof(),
@@ -76,7 +78,9 @@ def decompress(hier: UniformMeshHierarchy, buf: bytes) -> np.ndarray:
     off = 4 + struct.calcsize("<ddqII")
     if n != hier.ndof():
         raise ValueError("hierarchy/buffer dof mismatch")
-    exps = np.frombuffer(buf[off:off + n_exp], dtype=np.uint8)
+    ngroups = bitplane.num_chunks(n) * bitplane.CHUNK_GROUPS
+    exps = np.zeros(ngroups, dtype=np.uint8)
+    exps[:n_exp] = np.frombuffer(buf[off:off + n_exp], dtype=np.uint8)
     words = np.frombuffer(
         buf[off + n_exp:off + n_exp + n_words], dtype="<u4")
     cap = bitplane.max_words(n)
