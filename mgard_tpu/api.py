@@ -9,6 +9,7 @@ self-describing byte buffer; ``decompress`` needs only the buffer.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Sequence
 
 import numpy as np
@@ -70,13 +71,31 @@ def _block_edges(n: int, nblocks: int) -> np.ndarray:
     return np.linspace(0, n, nblocks + 1).astype(int)
 
 
+# In-flight device blocks during the multiblock pipeline (the reference
+# GPU pipeline rotates 3 queues, GPUPipelines.hpp:93; JAX's async
+# dispatch plays the queue role, this caps device-resident working sets).
+_PIPELINE_DEPTH = int(os.environ.get("MGARD_TPU_PIPELINE_DEPTH", "2"))
+
+
+def _block_coords(coordinates, dd_dim, lo, hi):
+    if coordinates is None:
+        return None
+    bcoords = [np.asarray(c) for c in coordinates]
+    bcoords[dd_dim] = bcoords[dd_dim][lo:hi]
+    return bcoords
+
+
 def _compress_multiblock(arr, tolerance, s, emode, coordinates, cfg):
     """Domain-decomposed compression (reference DomainDecomposer +
     general_compress, include/mgard-x/CompressionHighLevel/
     CompressionHighLevel.hpp:47-290): split the largest dim into slabs,
-    compress each independently, split the error budget so the global
-    bound holds (ErrorToleranceCalculator.hpp:135-154)."""
+    split the error budget so the global bound holds
+    (ErrorToleranceCalculator.hpp:135-154), and PIPELINE the blocks —
+    block i+1's device encode is dispatched before block i's host
+    readback/assembly, so host and device work overlap (the reference's
+    3-queue prefetch rotation, GPUPipelines.hpp:93)."""
     import math as _math
+    from collections import deque
 
     from .parallel.domain import local_abs_tol
 
@@ -92,22 +111,36 @@ def _compress_multiblock(arr, tolerance, s, emode, coordinates, cfg):
         abs_tol *= norm
     block_tol = local_abs_tol(abs_tol, s, nblocks)
 
+    # One lossless id for the whole container: resolve the adaptive
+    # small-domain choice on block 0's shape, then pin it.
+    shape0 = list(arr.shape)
+    shape0[dd_dim] = int(edges[1] - edges[0])
+    probe = get_compressor(tuple(shape0), arr.dtype, s=s,
+                           coordinates=_block_coords(coordinates, dd_dim,
+                                                     edges[0], edges[1]),
+                           config=cfg)
+    bcfg = cfg.replace(lossless=probe.lossless, adapt_lossless=False)
+    lossless = int(probe.lossless)
+
     sections = []
-    lossless = None
+    pending = deque()
+
+    def drain_one():
+        comp_i, handle = pending.popleft()
+        sections.extend(comp_i.finalize_sections(handle))
+
     for i in range(nblocks):
         sl = [slice(None)] * arr.ndim
         sl[dd_dim] = slice(edges[i], edges[i + 1])
-        block = arr[tuple(sl)]
-        bcoords = None
-        if coordinates is not None:
-            bcoords = [np.asarray(c) for c in coordinates]
-            bcoords[dd_dim] = bcoords[dd_dim][edges[i]:edges[i + 1]]
+        block = np.ascontiguousarray(arr[tuple(sl)])
+        bcoords = _block_coords(coordinates, dd_dim, edges[i], edges[i + 1])
         comp = get_compressor(block.shape, arr.dtype, s=s,
-                              coordinates=bcoords, config=cfg)
-        buf = comp.compress(np.ascontiguousarray(block), block_tol)
-        bh, bsec = fmt.read_container(buf)
-        lossless = bh.lossless
-        sections.extend(bsec)
+                              coordinates=bcoords, config=bcfg)
+        pending.append((comp, comp.encode_async(block, block_tol)))
+        if len(pending) >= _PIPELINE_DEPTH:
+            drain_one()
+    while pending:
+        drain_one()
 
     from .config import Decomposition
     dec_wire = (1 + max(1, int(cfg.num_local_levels))
@@ -126,26 +159,32 @@ def _compress_multiblock(arr, tolerance, s, emode, coordinates, cfg):
 
 
 def _decompress_multiblock(header: fmt.Header, sections) -> np.ndarray:
+    """Pipelined mirror of :func:`_compress_multiblock`: block i+1's
+    device decode is dispatched before block i's host readback."""
+    import dataclasses
+    from collections import deque
+
     edges = _block_edges(header.shape[header.dd_dim], header.dd_nblocks)
     per_block = len(sections) // header.dd_nblocks
+    bcfg = _config_from_header(header)
     outs = []
+    pending = deque()
     for i in range(header.dd_nblocks):
         bshape = list(header.shape)
         bshape[header.dd_dim] = int(edges[i + 1] - edges[i])
-        bcoords = None
-        if header.coordinates is not None:
-            bcoords = [np.asarray(c) for c in header.coordinates]
-            bcoords[header.dd_dim] = \
-                bcoords[header.dd_dim][edges[i]:edges[i + 1]]
-        bcfg = _config_from_header(header)
+        bcoords = _block_coords(header.coordinates, header.dd_dim,
+                                edges[i], edges[i + 1])
         comp = get_compressor(tuple(bshape), header.dtype, s=header.s,
                               coordinates=bcoords, config=bcfg)
-        import dataclasses
         bh = dataclasses.replace(header, shape=tuple(bshape),
                                  coordinates=bcoords, dd_nblocks=0,
                                  section_sizes=())
-        outs.append(comp.decompress_parsed(
+        pending.append(comp.decode_async(
             bh, sections[per_block * i:per_block * (i + 1)]))
+        if len(pending) >= _PIPELINE_DEPTH:
+            outs.append(np.asarray(pending.popleft()))
+    while pending:
+        outs.append(np.asarray(pending.popleft()))
     return np.concatenate(outs, axis=header.dd_dim)
 
 

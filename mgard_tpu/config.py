@@ -55,6 +55,10 @@ class Config:
     # config.num_local_refactoring_level, Config.cpp:40).
     num_local_levels: int = 1
     layout: Layout = Layout.PYRAMID
+    # Small domains upgrade BITPLANE -> per-group variants for ratio; the
+    # multiblock path pins one choice for all blocks (the container header
+    # records a single lossless id) by turning adaptation off.
+    adapt_lossless: bool = True
     zstd_level: int = 1
     # Threshold (bytes of input) above which compress() splits the domain
     # into blocks (reference DomainDecomposer triggers on the device-memory

@@ -58,7 +58,7 @@ class Compressor:
         # Adaptive default: per-chunk exponents need scale to pay off (a
         # chunk is 4096 values); small domains get per-group granularity.
         lossless = self.config.lossless
-        if hier.ndof() < (1 << 22):
+        if self.config.adapt_lossless and hier.ndof() < (1 << 22):
             if lossless == Lossless.BITPLANE:
                 lossless = Lossless.BITPLANE_GROUP
             elif lossless == Lossless.BITPLANE_ZSTD:
@@ -76,8 +76,20 @@ class Compressor:
         if self.config.decomposition == Decomposition.HYBRID:
             from ..ops import transform_hybrid as th
             self._hybrid_k = max(1, int(self.config.num_local_levels))
+            coords = hier.coordinates
+            lc = th.hybrid_coords(hier.shape, self._hybrid_k, coords)
+            # The packed block-coarse grid is non-uniformly spaced even on
+            # uniform input ({0,2,4,6,7} of each block), so the global
+            # hierarchy always carries explicit coordinates — the s-norm
+            # volume quanta and interpolation ratios then come out right.
             self._hybrid_hc = Hierarchy(
-                th.coarse_shape(hier.shape, self._hybrid_k))
+                th.coarse_shape(hier.shape, self._hybrid_k),
+                coordinates=lc[-1])
+            self._hybrid_ops = (None if hier.uniform else
+                                th.hybrid_operators(hier.shape,
+                                                    self._hybrid_k, coords))
+            self._hybrid_vols = th.hybrid_volume_weights(
+                hier.shape, self._hybrid_k, coords)
             self._nstream = th.hybrid_stream_size(hier.shape, self._hybrid_k)
         grouped = lossless in (Lossless.BITPLANE_GROUP,
                                Lossless.BITPLANE_GROUP_ZSTD)
@@ -101,20 +113,59 @@ class Compressor:
         L_total = self._hybrid_hc.L + self._hybrid_k
         return (2.0 * jnp.asarray(tol)) / ((L_total + 1) * (1 + 3.0 ** d))
 
+    def _hybrid_scale(self, pyr, details, tol, inverse: bool):
+        """(De)scale the hybrid stream's quanta.
+
+        L-inf: one scalar quantum with the total (local + global) level
+        count.  Finite s: the standard levelwise volume quanta on the
+        coarse hierarchy (its ndof corrected to the full stream's), and
+        rank-1 volume quanta on each local detail slab at total level
+        index Lc + k - i (reference
+        HybridHierarchyLinearQuantization.hpp role).
+        """
+        from ..ops.quantize import scale_pyramid
+        hc = self._hybrid_hc
+        k = self._hybrid_k
+        if math.isinf(self.s):
+            q = self._hybrid_quantum(tol)
+            f = (q if inverse else 1.0 / q).astype(self.dtype)
+            return [p * f for p in pyr], [d * f for d in details]
+        n_total = float(self._nstream)
+        tol_eff = jnp.asarray(tol) * math.sqrt(hc.ndof() / n_total)
+        if inverse:
+            from ..ops.quantize import dequantize_pyramid
+            pyr = dequantize_pyramid(hc, pyr, self.s, tol_eff, self.dtype)
+        else:
+            pyr = scale_pyramid(hc, pyr, self.s, tol_eff)
+        out_details = []
+        for i, d in enumerate(details):
+            l_i = hc.L + k - i
+            base = (2.0 ** (self.s * l_i)) * math.sqrt(n_total) \
+                / (2.0 * jnp.asarray(tol))
+            scaled = d
+            factor = base.astype(d.dtype)
+            if inverse:
+                scaled = scaled / factor
+            else:
+                scaled = scaled * factor
+            for dim, w in enumerate(self._hybrid_vols[i]):
+                shp = [1] * d.ndim
+                shp[dim] = len(w)
+                wj = jnp.asarray(w, dtype=d.dtype).reshape(shp)
+                scaled = scaled / wj if inverse else scaled * wj
+            out_details.append(scaled)
+        return pyr, out_details
+
     def _quantized_flat(self, v: jax.Array, tol: jax.Array):
         """Decompose + quantize -> (flat int32 stream, overflow flag)."""
         hier = self.hier
         if self.config.decomposition == Decomposition.HYBRID:
-            if not math.isinf(self.s):
-                raise NotImplementedError(
-                    "Hybrid decomposition currently supports L-inf "
-                    "error control only")
             from ..ops import transform_hybrid as th
             pyr, details = th.decompose_hybrid(self._hybrid_hc, v,
-                                               self._hybrid_k)
-            inv_q = (1.0 / self._hybrid_quantum(tol)).astype(v.dtype)
-            pyr = [p * inv_q for p in pyr]
-            details = [d * inv_q for d in details]
+                                               self._hybrid_k,
+                                               ops=self._hybrid_ops)
+            pyr, details = self._hybrid_scale(pyr, details, tol,
+                                              inverse=False)
             scaledf = th.flatten_hybrid(self._hybrid_hc, pyr, details)
         elif self.config.decomposition == Decomposition.SINGLEDIM:
             from ..ops import transform_singledim as sd
@@ -158,12 +209,13 @@ class Compressor:
         hier = self.hier
         if self.config.decomposition == Decomposition.HYBRID:
             from ..ops import transform_hybrid as th
-            q = self._hybrid_quantum(tol).astype(self.dtype)
-            flatf = flat.astype(self.dtype) * q
             pyr, details = th.unflatten_hybrid(
-                self._hybrid_hc, flatf, hier.shape, self._hybrid_k)
+                self._hybrid_hc, flat.astype(self.dtype), hier.shape,
+                self._hybrid_k)
+            pyr, details = self._hybrid_scale(pyr, details, tol,
+                                              inverse=True)
             return th.recompose_hybrid(self._hybrid_hc, pyr, details,
-                                       hier.shape)
+                                       hier.shape, ops=self._hybrid_ops)
         if self.config.decomposition == Decomposition.SINGLEDIM:
             from ..ops import transform_singledim as sd
             coarse, slabs = sd.unflatten_slabs(hier, flat)
@@ -225,12 +277,59 @@ class Compressor:
     # ------------------------------------------------------------------
     # host-facing API
     # ------------------------------------------------------------------
-    def compress(self, v, tolerance: float,
-                 mode: ErrorMode = ErrorMode.ABS) -> bytes:
+    def encode_async(self, v, abs_tol: float):
+        """Dispatch the device encode without waiting; returns an opaque
+        handle for :meth:`finalize_sections`.
+
+        JAX's async dispatch makes this the pipelining primitive for the
+        multiblock path (reference GPUPipelines.hpp:93 three-queue
+        rotation): the caller launches block i+1's device work, then
+        reads back block i — host readback/assembly of one block
+        overlaps device compute of the next.
+        """
         v = jnp.asarray(v, dtype=self.dtype)
         if tuple(v.shape) != self.hier.shape:
             raise ValueError(
                 f"expected shape {self.hier.shape}, got {v.shape}")
+        if self.lossless in (Lossless.HUFFMAN_ZLIB, Lossless.HUFFMAN_ZSTD,
+                             Lossless.NONE):
+            return ("raw", self._encode_raw(v, abs_tol))
+        return ("bp", self._encode(v, abs_tol))
+
+    def finalize_sections(self, handle) -> List[bytes]:
+        """Read back an :meth:`encode_async` handle and build the
+        container sections (host side: readback, optional zstd)."""
+        kind, out = handle
+        if kind == "raw":
+            flat, overflow = out
+            flat_np = np.asarray(flat)
+            _raise_status(int(overflow))
+            return [self._host_lossless_encode(flat_np)]
+        exponents, words, count, overflow = out
+        count = int(count)
+        _raise_status(int(overflow))
+        exp_np = np.asarray(exponents)
+        words_np = np.asarray(words)[:count]
+
+        # Trailing all-zero chunks/groups carry no stream rows; drop
+        # their exponent bytes (the decoder zero-fills back to the
+        # static count) — with 32k-value chunks the padding would
+        # otherwise dominate small containers.
+        nz = np.nonzero(exp_np)[0]
+        exp_np = exp_np[:int(nz[-1]) + 1] if len(nz) else exp_np[:0]
+        exp_bytes = exp_np.tobytes()
+        word_bytes = words_np.astype("<u4").tobytes()
+        if self.lossless in (Lossless.BITPLANE_ZSTD,
+                             Lossless.BITPLANE_GROUP_ZSTD):
+            import zstandard
+            cctx = zstandard.ZstdCompressor(level=self.config.zstd_level)
+            exp_bytes = cctx.compress(exp_bytes)
+            word_bytes = cctx.compress(word_bytes)
+        return [exp_bytes, word_bytes]
+
+    def compress(self, v, tolerance: float,
+                 mode: ErrorMode = ErrorMode.ABS) -> bytes:
+        v = jnp.asarray(v, dtype=self.dtype)
         norm = 1.0
         abs_tol = float(tolerance)
         if mode == ErrorMode.REL:
@@ -239,36 +338,8 @@ class Compressor:
 
         from ..utils.log import Timer
         lossless = self.lossless
-        if lossless in (Lossless.HUFFMAN_ZLIB, Lossless.HUFFMAN_ZSTD,
-                        Lossless.NONE):
-            with Timer("compress (device)", v.nbytes):
-                flat, overflow = self._encode_raw(v, abs_tol)
-                flat_np = np.asarray(flat)
-            _raise_status(int(overflow))
-            sections = [self._host_lossless_encode(flat_np)]
-        else:
-            with Timer("compress (device)", v.nbytes):
-                exponents, words, count, overflow = self._encode(v, abs_tol)
-                count = int(count)
-            _raise_status(int(overflow))
-            exp_np = np.asarray(exponents)
-            words_np = np.asarray(words)[:count]
-
-            # Trailing all-zero chunks/groups carry no stream rows; drop
-            # their exponent bytes (the decoder zero-fills back to the
-            # static count) — with 32k-value chunks the padding would
-            # otherwise dominate small containers.
-            nz = np.nonzero(exp_np)[0]
-            exp_np = exp_np[:int(nz[-1]) + 1] if len(nz) else exp_np[:0]
-            exp_bytes = exp_np.tobytes()
-            word_bytes = words_np.astype("<u4").tobytes()
-            if lossless in (Lossless.BITPLANE_ZSTD,
-                            Lossless.BITPLANE_GROUP_ZSTD):
-                import zstandard
-                cctx = zstandard.ZstdCompressor(level=self.config.zstd_level)
-                exp_bytes = cctx.compress(exp_bytes)
-                word_bytes = cctx.compress(word_bytes)
-            sections = [exp_bytes, word_bytes]
+        with Timer("compress (device)", v.nbytes):
+            sections = self.finalize_sections(self.encode_async(v, abs_tol))
 
         header = fmt.Header(
             dtype=self.dtype, shape=self.hier.shape,
@@ -334,6 +405,12 @@ class Compressor:
 
     def decompress_parsed(self, header: fmt.Header,
                           sections: List[bytes]) -> np.ndarray:
+        return np.asarray(self.decode_async(header, sections))
+
+    def decode_async(self, header: fmt.Header, sections: List[bytes]):
+        """Dispatch the device decode without forcing the result to the
+        host (the multiblock pipeline reads back block i while the
+        device already runs block i+1)."""
         if tuple(header.shape) != self.hier.shape:
             raise ValueError("container shape mismatch")
         if header.lossless in (int(Lossless.HUFFMAN_ZLIB),
@@ -341,8 +418,7 @@ class Compressor:
                                int(Lossless.NONE)):
             flat_np = self._host_lossless_decode(
                 sections[0], Lossless(header.lossless))
-            out = self._decode_raw(jnp.asarray(flat_np), header.tolerance)
-            return np.asarray(out)
+            return self._decode_raw(jnp.asarray(flat_np), header.tolerance)
         exp_bytes, word_bytes = sections[0], sections[1]
         ndof = self._nstream
         grouped = header.lossless in (int(Lossless.BITPLANE_GROUP),
@@ -364,10 +440,9 @@ class Compressor:
         cap = bitplane.max_words(ndof)
         words_full = np.zeros(cap, dtype=np.uint32)
         words_full[:len(words)] = words
-        out = self._decode_fn(grouped)(
+        return self._decode_fn(grouped)(
             jnp.asarray(exponents), jnp.asarray(words_full),
             header.tolerance)
-        return np.asarray(out)
 
 
 @functools.lru_cache(maxsize=32)
@@ -376,10 +451,12 @@ def _cached_compressor(shape: Tuple[int, ...], dtype_str: str, s: float,
     coords = None if coords_key is None else [
         np.asarray(c) for c in coords_key]
     hier = Hierarchy(shape, coordinates=coords)
-    lossless, zstd_level, decomposition, layout, num_local = config_key
+    lossless, zstd_level, decomposition, layout, num_local, adapt = \
+        config_key
     cfg = Config(lossless=Lossless(lossless), zstd_level=zstd_level,
                  decomposition=Decomposition(decomposition),
-                 layout=Layout(layout), num_local_levels=num_local)
+                 layout=Layout(layout), num_local_levels=num_local,
+                 adapt_lossless=adapt)
     return Compressor(hier, np.dtype(dtype_str), s=s, config=cfg)
 
 
@@ -394,4 +471,4 @@ def get_compressor(shape, dtype, s: float = math.inf, coordinates=None,
         tuple(int(x) for x in shape), np.dtype(dtype).str, float(s),
         coords_key,
         (int(cfg.lossless), cfg.zstd_level, int(cfg.decomposition),
-         int(cfg.layout), int(cfg.num_local_levels)))
+         int(cfg.layout), int(cfg.num_local_levels), cfg.adapt_lossless))

@@ -28,7 +28,6 @@ __all__ = ["mass_apply", "mass_solve"]
 
 # Opt-in fused Pallas kernel for the solve (see ops/pallas_kernels.py);
 # the lax.scan path remains the portable default.
-_USE_PALLAS = os.environ.get("MGARD_TPU_PALLAS_TRIDIAG", "0") == "1"
 
 
 def _to_axis0(v, axis):
@@ -78,11 +77,6 @@ def mass_solve(b: jax.Array, offdiag: np.ndarray, divisors: np.ndarray,
     n = b.shape[axis]
     if n < 2:
         raise ValueError("mass_solve requires >= 2 nodes along axis")
-    batch = int(np.prod(b.shape)) // n
-    if (_USE_PALLAS and jax.default_backend() == "tpu"
-            and batch >= 1024 and n >= 3):
-        from .pallas_kernels import mass_solve_pallas
-        return mass_solve_pallas(b, offdiag, divisors, axis)
     dt = b.dtype
     off = jnp.asarray(np.asarray(offdiag), dtype=dt)
     div = jnp.asarray(np.asarray(divisors), dtype=dt)

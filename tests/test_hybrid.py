@@ -48,13 +48,6 @@ def test_e2e_error_bound(tol, k):
     assert np.abs(out - v).max() <= tol
 
 
-def test_snorm_rejected():
-    v = smooth_field((33, 33), seed=56).astype(np.float32)
-    cfg = Config(decomposition=Decomposition.HYBRID)
-    with pytest.raises(NotImplementedError):
-        mgard_tpu.compress(v, 1e-3, s=0.0, config=cfg)
-
-
 def test_header_roundtrips_local_levels():
     v = smooth_field((40, 40), seed=57).astype(np.float32)
     cfg = Config(decomposition=Decomposition.HYBRID, num_local_levels=2)
@@ -64,3 +57,47 @@ def test_header_roundtrips_local_levels():
     assert header.decomposition == 3  # 1 + num_local_levels on the wire
     out = mgard_tpu.decompress(buf)
     assert np.abs(out - v).max() <= 1e-2
+
+
+@pytest.mark.parametrize("s", [0.0, 1.0, -1.0])
+@pytest.mark.parametrize("tol", [1e-2, 1e-4])
+def test_hybrid_finite_s_bound(s, tol):
+    """Hybrid + finite-s error control (round-2 review item #3: the
+    reference supports the full config surface via levelwise hybrid
+    quanta, HybridHierarchyLinearQuantization.hpp)."""
+    import jax.numpy as jnp
+
+    import mgard_tpu
+    from mgard_tpu.hierarchy import Hierarchy
+    from mgard_tpu.ops import norms
+    from tests.test_compress_e2e import smooth_field
+
+    shape = (33, 33)
+    v = smooth_field(shape, seed=42).astype(np.float64)
+    cfg = Config(decomposition=Decomposition.HYBRID, num_local_levels=1)
+    buf = mgard_tpu.compress(v, tol, s=s, config=cfg)
+    out = mgard_tpu.decompress(buf)
+    h = Hierarchy(shape)
+    assert float(norms.norm(h, jnp.asarray(out - v), s)) <= tol
+
+
+@pytest.mark.parametrize("s", [math.inf, 0.0])
+def test_hybrid_nonuniform_operators(s):
+    """With explicit coordinates the hybrid block operators are derived
+    from the actual spacings; the bound must hold on clustered grids."""
+    import jax.numpy as jnp
+
+    import mgard_tpu
+    from mgard_tpu.hierarchy import Hierarchy
+    from mgard_tpu.ops import norms
+    from tests.test_compress_e2e import smooth_field
+
+    shape = (33, 17)
+    coords = [np.linspace(0, 1, n) ** 3 for n in shape]
+    v = smooth_field(shape, seed=43).astype(np.float64)
+    tol = 1e-3
+    cfg = Config(decomposition=Decomposition.HYBRID, num_local_levels=1)
+    buf = mgard_tpu.compress(v, tol, s=s, coordinates=coords, config=cfg)
+    out = mgard_tpu.decompress(buf)
+    h = Hierarchy(shape, coordinates=coords)
+    assert float(norms.norm(h, jnp.asarray(out - v), s)) <= tol

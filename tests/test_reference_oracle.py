@@ -135,10 +135,12 @@ def test_snorm_file_parity(tmp_path):
 
 def test_ratio_parity_vs_reference(tmp_path):
     """North-star size check (BASELINE.md): at the same error bound our
-    compressed size must match the reference's.  The host Huffman path
+    compressed size must BEAT the reference's.  The host Huffman path
     runs the reference's own entropy coder so it must be within a few
     percent (ordering differences only); the on-chip bitplane+zstd codec
-    must stay within 15% on this field (measured ~4% behind at 256^3)."""
+    must come in at or under the reference size (round 3: the PYRAMID
+    level-major layout measures 0.76x of the reference at 256^3 and
+    ~0.87x on this 65^3 field)."""
     import mgard_tpu
     from mgard_tpu.config import Config, Lossless
 
@@ -155,7 +157,7 @@ def test_ratio_parity_vs_reference(tmp_path):
     ours_bp = len(mgard_tpu.compress(
         v, 1e-3, config=Config(lossless=Lossless.BITPLANE_GROUP_ZSTD)))
     assert ours_h <= 1.06 * ref_size, (ours_h, ref_size)
-    assert ours_bp <= 1.15 * ref_size, (ours_bp, ref_size)
+    assert ours_bp <= 1.0 * ref_size, (ours_bp, ref_size)
     # and the compat writer (bit-compatible stream) must not exceed it
     compat = len(mgard_compat.compress_mgard(
         v.astype(np.float64), 1e-3, zstd=False))
