@@ -91,21 +91,35 @@ SCHEMAS: Dict[str, Dict] = {
 # enum values (mgard.proto)
 CPU_HUFFMAN_ZLIB = 1
 CPU_HUFFMAN_ZSTD = 2
+X_HUFFMAN = 3
+X_HUFFMAN_LZ4 = 4
+X_HUFFMAN_ZSTD = 5
 DATASET_FLOAT, DATASET_DOUBLE = 0, 1
 NORM_L_INFINITY, NORM_S_NORM = 0, 1
 
 
 def read_container(buf: bytes) -> Tuple[Dict, bytes]:
-    """Parse an MGARD buffer -> (header message dict, payload bytes)."""
+    """Parse an MGARD buffer -> (header message dict, payload bytes).
+
+    The CPU stack writes the size/CRC preamble big-endian
+    (include/format.hpp serialization); MGARD-X's Metadata writes the
+    same signature + protobuf header but with LITTLE-endian preamble
+    ints (src/mgard-x/Metadata/Metadata.cpp Serialize<T> emits
+    LSB-first).  Both are accepted here; the CRC arbitrates.
+    """
     if buf[:5] != MAGIC:
         raise ValueError("not an MGARD buffer (bad magic)")
-    (hdr_size,) = struct.unpack_from(">Q", buf, 5)
-    (crc,) = struct.unpack_from(">I", buf, 13)
-    hdr = buf[17:17 + hdr_size]
-    if (zlib.crc32(hdr) & 0xFFFFFFFF) != crc:
-        raise ValueError("MGARD header CRC mismatch")
-    header = protowire.decode_message(SCHEMAS["Header"], SCHEMAS, hdr)
-    return header, buf[17 + hdr_size:]
+    for order in (">", "<"):
+        (hdr_size,) = struct.unpack_from(order + "Q", buf, 5)
+        if hdr_size > len(buf):
+            continue
+        (crc,) = struct.unpack_from(order + "I", buf, 13)
+        hdr = buf[17:17 + hdr_size]
+        if (zlib.crc32(hdr) & 0xFFFFFFFF) == crc:
+            header = protowire.decode_message(SCHEMAS["Header"], SCHEMAS,
+                                              hdr)
+            return header, buf[17 + hdr_size:]
+    raise ValueError("MGARD header CRC mismatch")
 
 
 def write_container(header: Dict, payload: bytes) -> bytes:
@@ -266,6 +280,191 @@ def compress_mgard(data: np.ndarray, tolerance: float, s: float = math.inf,
     return write_container(header, payload)
 
 
+def _decode_x_huffman(blob: bytes):
+    """Parse + decode an MGARD-X serialized Huffman stream
+    (include/mgard-x/Lossless/ParallelHuffman/Huffman.hpp:130-266):
+
+        |primary_count u64|dict_size i32|chunk_size i32|huffmeta_size u64|
+        |huffmeta u64 x (bits-per-chunk, word-entry-per-chunk)|
+        |decodebook_size u64|decodebook bytes|ddata_size u64|ddata u64 x|
+        |outlier_count u64|outlier idx u64 x|outlier values i64 x|
+
+    every field aligned to its own size (RuntimeX Serializer.hpp).  The
+    decodebook is the canonical first/entry/keys triple (H = u64, so 64
+    first + 64 entry words, then dict_size u64 keys); chunk bitstreams
+    are MSB-first within each u64 word.  Returns the signed quantized
+    stream (outliers restored, dict offset removed).
+    """
+
+    def align(o, t):
+        return o if o % t == 0 else ((o - 1) // t + 1) * t
+
+    def take(dtype, size, count, o):
+        o = align(o, size)
+        arr = np.frombuffer(blob, dtype=dtype, count=int(count), offset=o)
+        return arr, o + int(count) * size
+
+    off = 0
+    (pc,), off = take("<u8", 8, 1, off)
+    (dict_size,), off = take("<i4", 4, 1, off)
+    (chunk_size,), off = take("<i4", 4, 1, off)
+    (hm_size,), off = take("<u8", 8, 1, off)
+    huffmeta, off = take("<u8", 8, hm_size, off)
+    (db_size,), off = take("<u8", 8, 1, off)
+    db, off = take("u1", 1, db_size, off)
+    (ddata_size,), off = take("<u8", 8, 1, off)
+    ddata, off = take("<u8", 8, ddata_size, off)
+    (outlier_count,), off = take("<u8", 8, 1, off)
+    out_idx, off = take("<u8", 8, outlier_count, off)
+    out_vals, off = take("<i8", 8, outlier_count, off)
+
+    pc = int(pc)
+    dict_size = int(dict_size)
+    nchunk = (pc - 1) // int(chunk_size) + 1
+    bits = huffmeta[:nchunk].astype(np.int64)
+    entries = huffmeta[nchunk:2 * nchunk].astype(np.int64)
+    first = np.frombuffer(db, "<u8", 64, 0).astype(object)
+    entry = np.frombuffer(db, "<u8", 64, 512).astype(np.int64)
+    keys = np.frombuffer(db, "<u8", dict_size, 1024)
+
+    out = np.empty(pc, dtype=np.int64)
+    pos = 0
+    for c in range(nchunk):
+        total_bw = int(bits[c])
+        words = ddata[int(entries[c]):]
+        # expand this chunk's bits once (MSB-first per u64 word)
+        nwords = (total_bw - 1) // 64 + 1 if total_bw else 0
+        bitarr = np.unpackbits(
+            words[:nwords].byteswap().view("u1").copy())
+        i = 0
+        while i < total_bw:
+            v = int(bitarr[i])
+            lng = 1
+            while v < first[lng]:
+                i += 1
+                v = (v << 1) | int(bitarr[i])
+                lng += 1
+            out[pos] = keys[entry[lng] + v - int(first[lng])]
+            pos += 1
+            i += 1
+    if pos != pc:
+        raise ValueError("X-Huffman stream decoded wrong symbol count")
+    if int(outlier_count):
+        out[out_idx.astype(np.int64)] = out_vals
+    return out - dict_size // 2
+
+
+def _decompress_mgard_x(header, payload: bytes) -> np.ndarray:
+    """Decode an MGARD-X (mgard-x executable) buffer — reference
+    Metadata.hpp:20-160 preamble + per-subdomain Compressor streams
+    (round-2 review missing item #2).
+
+    Supported: serial/OpenMP-produced, MultiDim, reorder=0, L-inf error
+    control, X_HUFFMAN / X_HUFFMAN_ZSTD, no domain decomposition, 2^k+1
+    level-compatible shapes (where the X ghost-node hierarchy's level
+    shapes coincide with the reference dyadic hierarchy's).
+    """
+    import math as _math
+
+    domain = header["domain"]
+    topo = domain["cartesian_grid_topology"]
+    shape = tuple(int(x) for x in topo["shape"])
+    dtype = (np.float32 if header["dataset"]["type"] == DATASET_FLOAT
+             else np.float64)
+    ec = header["error_control"]
+    if ec["norm"] != NORM_L_INFINITY:
+        raise NotImplementedError(
+            "MGARD-X buffers: only L-inf error control supported")
+    tol = ec["tolerance"]
+    if ec["mode"] == 1:
+        tol = tol * ec["norm_of_original_data"]
+    dd = header.get("domain_decomposition", {})
+    if dd.get("method", 0) != 0:
+        raise NotImplementedError(
+            "MGARD-X buffers: domain decomposition not supported")
+    if header["encoding"].get("preprocessor", 0) != 0:
+        raise NotImplementedError(
+            "MGARD-X buffers: level linearization (reorder) not supported")
+
+    # X level walk: n -> n/2+1 down to 2 (Hierarchy.hpp:199-216); must
+    # coincide with the reference dyadic hierarchy for our recompose to
+    # be its inverse.
+    def x_levels(n):
+        out = []
+        while n > 2:
+            out.append(n)
+            n = n // 2 + 1
+        out.append(2)
+        return out
+
+    l_target = min(len(x_levels(n)) for n in shape if n > 1) - 1
+
+    hier = Hierarchy(shape, placement="reference")
+    if hier.L != l_target or any(
+            x_levels(n)[:l_target + 1] !=
+            [lev.n for lev in hier.dims[d][::-1]][:l_target + 1]
+            for d, n in enumerate(shape) if n > 1):
+        raise NotImplementedError(
+            "MGARD-X buffers: shape's ghost-node hierarchy differs from "
+            "the dyadic reference hierarchy (use 2^k+1 dims)")
+
+    compressor = header["encoding"]["compressor"]
+    (sub_size,) = struct.unpack_from("<Q", payload, 0)
+    blob = payload[8:8 + sub_size]
+    # CR < 1 fallback: the pipeline stores the raw subdomain bytes
+    # instead (CPUPipelines.hpp:115-134), detectable by exact size.
+    itemsize = np.dtype(dtype).itemsize
+    if sub_size == int(np.prod(shape)) * itemsize:
+        return np.frombuffer(blob, dtype=dtype).reshape(shape).copy()
+    if compressor == X_HUFFMAN_ZSTD:
+        import zstandard
+        blob = zstandard.ZstdDecompressor().decompress(
+            blob[8:], max_output_size=int(
+                struct.unpack_from("<Q", blob, 0)[0]))
+    elif compressor != X_HUFFMAN:
+        raise NotImplementedError(f"MGARD-X compressor {compressor}")
+    q = _decode_x_huffman(blob)
+
+    d_eff = sum(1 for n in shape if n > 1)
+    quantum = 2.0 * tol / ((l_target + 1) * (1 + 3.0 ** d_eff))
+    fine = (q.astype(np.float64) * quantum).reshape(shape)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import transform
+
+    # The X refactoring front-packs each level's coarse block in place
+    # (gpk_reo, GridProcessingKernel3D.hpp Operation3: coarse node
+    # (2i, 2j, 2k) -> (i, j, k)), so the quantized array is in Mallat
+    # corner layout: level-l detail region r occupies, along dim d,
+    # [nc_d, n_d) if r refines d else [0, nc_d), inside the recursively
+    # packed [0, shape(l)) block.  Extract the (level, region) blocks in
+    # block_specs order and let blocks_to_pyramid interleave them back.
+    def unpack(F):
+        blocks = []
+        for (l, r, bshape, pos) in transform.block_specs(hier):
+            idx = []
+            for d in range(hier.ndim):
+                if hier.shape[d] == 1:
+                    idx.append(slice(0, 1))
+                    continue
+                lev = hier.dims[d][l] if l > 0 else None
+                if l == 0:
+                    idx.append(slice(0, hier.shapes[0][d]))
+                elif r & (1 << d):
+                    nc = len(lev.coarse_pos)
+                    idx.append(slice(nc, lev.n))
+                else:
+                    idx.append(slice(0, len(lev.coarse_pos)))
+            blocks.append(F[tuple(idx)])
+        return blocks
+
+    f = jax.jit(lambda x: transform.recompose(
+        hier, transform.blocks_to_pyramid(hier, unpack(x))))
+    return np.asarray(f(jnp.asarray(fine))).astype(dtype)
+
+
 def decompress_mgard(buf: bytes) -> np.ndarray:
     """Decompress a reference CPU-format buffer."""
     from .huffman_native import huffman_decode
@@ -292,6 +491,8 @@ def decompress_mgard(buf: bytes) -> np.ndarray:
         tol = tol * ec["norm_of_original_data"]
 
     compressor = header["encoding"]["compressor"]
+    if compressor in (X_HUFFMAN, X_HUFFMAN_LZ4, X_HUFFMAN_ZSTD):
+        return _decompress_mgard_x(header, payload)
     if header["quantization"].get("type", 3) != 3:
         raise NotImplementedError("only INT64_T quantization supported")
 

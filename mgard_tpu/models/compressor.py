@@ -362,10 +362,21 @@ class Compressor:
         HUFFMAN_ZLIB / HUFFMAN_ZSTD mirror the reference CPU back end
         (compress_memory_huffman, src/compressors.cpp:421-512): custom
         Huffman over the stream, then zlib/zstd of {tree, bits, misses}
-        with a 3-size preamble.  NONE stores the raw little-endian int32s.
+        with a 3-size preamble.  NONE stores raw little-endian ints at
+        the narrowest width that holds the stream — the reference's
+        per-header quantized dtype selection (src/mgard.proto:96-113),
+        carried here as a leading section byte so every block of a
+        multiblock container picks its own width.
         """
         if self.lossless == Lossless.NONE:
-            return flat_np.astype("<i4").tobytes()
+            amax = int(np.abs(flat_np).max()) if flat_np.size else 0
+            if amax <= 127:
+                code, dt = 2, "<i1"
+            elif amax <= 32767:
+                code, dt = 1, "<i2"
+            else:
+                code, dt = 0, "<i4"
+            return bytes([code]) + flat_np.astype(dt).tobytes()
         from ..io.huffman_native import huffman_encode
         tree, hit, hit_bits, miss = huffman_encode(
             flat_np.astype(np.int64))
@@ -382,7 +393,9 @@ class Compressor:
                               lossless: Lossless) -> np.ndarray:
         ndof = self._nstream
         if lossless == Lossless.NONE:
-            return np.frombuffer(payload, dtype="<i4").astype(np.int32)
+            dt = {0: "<i4", 1: "<i2", 2: "<i1"}[payload[0]]
+            return np.frombuffer(payload, dtype=dt,
+                                 offset=1).astype(np.int32)
         tree_size, hit_bits, miss_size = struct.unpack_from("<QQQ",
                                                             payload, 0)
         inner_size = tree_size + hit_bits // 8 + 4 + miss_size

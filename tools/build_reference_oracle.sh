@@ -15,3 +15,14 @@ g++ -O2 -std=c++17 -o /tmp/mgard_oracle \
   -I/root/reference/include -I"$BUILD/include" \
   -L"$BUILD/lib" -lmgard -Wl,-rpath,"$BUILD/lib" -lprotobuf -lz -lzstd
 echo "oracle at /tmp/mgard_oracle"
+
+# Optionally also build the mgard-x serial executable for live X-interop
+# tests (tests/test_mgardx_interop.py); golden fixtures in tests/data/
+# keep the decode path covered when this build is absent.
+if [ "$2" = "with-x" ] && [ ! -f /tmp/mgard_build_x/bin/mgard-x ]; then
+  cmake -S /root/reference -B /tmp/mgard_build_x -G Ninja \
+    -DCMAKE_BUILD_TYPE=Release -DMGARD_ENABLE_CLI=OFF \
+    -DMGARD_ENABLE_SERIAL=ON -DMGARD_ENABLE_OPENMP=OFF \
+    -DBUILD_TESTING=OFF -DMGARD_ENABLE_UNSTRUCTURED=OFF
+  ninja -C /tmp/mgard_build_x mgard-x
+fi
