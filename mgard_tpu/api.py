@@ -19,7 +19,7 @@ from .io import format as fmt
 from .models.compressor import get_compressor
 
 __all__ = ["compress", "decompress", "release_cache",
-           "estimate_memory_footprint"]
+           "estimate_memory_footprint", "adjust_shape", "plan_blocks"]
 
 
 def release_cache():
@@ -30,13 +30,56 @@ def release_cache():
 
 
 def estimate_memory_footprint(shape, dtype=np.float32) -> int:
-    """Rough device-memory bytes needed to compress an array of this
-    shape (reference Compressor::EstimateMemoryFootprint).  The pipeline
-    holds ~2 float copies (pyramid + blocks), one int32 stream, the padded
-    bitplane layout and the condense buffer."""
+    """Device-memory bytes needed to compress an array of this shape
+    (reference Compressor::EstimateMemoryFootprint).
+
+    Validated against XLA's compile-time memory analysis of the default
+    encode executable (temp + args + outputs): measured 3.90x input
+    bytes at 512^3 f32, 3.75x at 256^3 (see test_footprint.py, which
+    re-checks the constant against memory_analysis()).  The composition:
+    input (1x), pyramid levels (~8/7 x), the scaled PYRAMID stream +
+    zigzag chunks (~2 x 8/7 x), and the condense capacity buffer
+    (33/32 x 8/7 x), plus small per-level temporaries.  A 1.15 safety
+    factor covers fragmentation and scheduling overlap.
+    """
     n = int(np.prod([int(s) for s in shape]))
     item = np.dtype(dtype).itemsize
-    return int(n * (2.3 * item + 4 * 3.2))
+    return int(n * item * 3.9 * 1.15) + (32 << 20)
+
+
+def _device_memory_budget() -> int:
+    """Usable device-memory bytes (reference
+    DeviceRuntime::GetAvailableMemory).  Falls back to 12 GB (a v5e
+    chip's practical HBM budget) when the backend exposes no stats —
+    e.g. the tunneled TPU or the CPU test backend."""
+    import jax
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit") or stats.get(
+            "bytes_reservable_limit")
+        if limit:
+            return int(limit - stats.get("bytes_in_use", 0))
+    except Exception:
+        pass
+    return 12 << 30
+
+
+def plan_blocks(shape, dtype, cfg: Config) -> int:
+    """Number of domain-decomposition slabs (reference
+    DomainDecomposer::need_domain_decomposition +
+    num_subdomains sizing, DomainDecomposer.hpp:72-89): split when the
+    estimated footprint exceeds the available device memory (or the
+    configured cap), sized so every slab fits."""
+    nbytes = int(np.prod([int(x) for x in shape])) * np.dtype(dtype).itemsize
+    budget = cfg.max_memory_footprint or _device_memory_budget()
+    est = estimate_memory_footprint(shape, dtype)
+    nb = 1
+    if est > budget:
+        # footprint scales ~linearly with elements; add slabs until the
+        # per-slab estimate fits
+        nb = max(2, int(-(-est // budget)))
+    nb = max(nb, int(-(-nbytes // cfg.max_block_bytes)))
+    return min(nb, int(shape[int(np.argmax(shape))]))
 
 
 def compress(data, tolerance: float, s: float = math.inf,
@@ -59,12 +102,52 @@ def compress(data, tolerance: float, s: float = math.inf,
         raise TypeError("only float32/float64 data is supported")
     emode = ErrorMode.REL if mode == "rel" else ErrorMode.ABS
     cfg = config or Config()
-    if arr.nbytes > cfg.max_block_bytes:
-        return _compress_multiblock(arr, tolerance, s, emode, coordinates,
-                                    cfg)
-    comp = get_compressor(arr.shape, arr.dtype, s=s,
-                          coordinates=coordinates, config=cfg)
-    return comp.compress(arr, tolerance, mode=emode)
+    orig_shape = None
+    if cfg.adjust_shape and coordinates is None:
+        new_shape = adjust_shape(arr.shape)
+        if new_shape != arr.shape:
+            orig_shape = arr.shape
+            arr = arr.reshape(new_shape)
+    nblocks = plan_blocks(arr.shape, arr.dtype, cfg)
+    if nblocks > 1:
+        buf = _compress_multiblock(arr, tolerance, s, emode, coordinates,
+                                   cfg, nblocks)
+    else:
+        comp = get_compressor(arr.shape, arr.dtype, s=s,
+                              coordinates=coordinates, config=cfg)
+        buf = comp.compress(arr, tolerance, mode=emode)
+    if orig_shape is not None:
+        header, sections = fmt.read_container(buf)
+        import dataclasses
+        header = dataclasses.replace(header, orig_shape=orig_shape)
+        buf = fmt.write_container(header, sections)
+    return buf
+
+
+def adjust_shape(shape) -> tuple:
+    """Rebalance a lopsided shape by redistributing the largest dim's
+    prime factors onto the smallest dims (reference
+    ShapeAdjustment.hpp:43-77, config.adjust_shape).  Total element
+    count (and row-major byte order) is unchanged — the grid is merely
+    reinterpreted, which helps compression of flattened/stacked data."""
+    shape = [int(x) for x in shape]
+    max_d = int(np.argmax(shape))
+    n = shape[max_d]
+    factors = []
+    z = 2
+    while z * z <= n:
+        if n % z == 0:
+            factors.append(z)
+            n //= z
+        else:
+            z += 1
+    if n > 1:
+        factors.append(n)
+    shape[max_d] = 1
+    for f in reversed(factors):
+        min_d = int(np.argmin(shape))
+        shape[min_d] *= f
+    return tuple(shape)
 
 
 def _block_edges(n: int, nblocks: int) -> np.ndarray:
@@ -85,7 +168,8 @@ def _block_coords(coordinates, dd_dim, lo, hi):
     return bcoords
 
 
-def _compress_multiblock(arr, tolerance, s, emode, coordinates, cfg):
+def _compress_multiblock(arr, tolerance, s, emode, coordinates, cfg,
+                         nblocks):
     """Domain-decomposed compression (reference DomainDecomposer +
     general_compress, include/mgard-x/CompressionHighLevel/
     CompressionHighLevel.hpp:47-290): split the largest dim into slabs,
@@ -100,7 +184,6 @@ def _compress_multiblock(arr, tolerance, s, emode, coordinates, cfg):
     from .parallel.domain import local_abs_tol
 
     dd_dim = int(np.argmax(arr.shape))
-    nblocks = int(-(-arr.nbytes // cfg.max_block_bytes))
     edges = _block_edges(arr.shape[dd_dim], nblocks)
 
     abs_tol = float(tolerance)
@@ -202,14 +285,18 @@ def decompress(buf: bytes) -> np.ndarray:
         return mgard_compat.decompress_mgard(buf)
     header, sections = fmt.read_container(buf)
     if header.dd_nblocks:
-        return _decompress_multiblock(header, sections)
-    if header.roi_block:
+        out = _decompress_multiblock(header, sections)
+    elif header.roi_block:
         from .models.roi import decompress_roi
-        return decompress_roi(header, sections)
-    cfg = _config_from_header(header)
-    comp = get_compressor(header.shape, header.dtype, s=header.s,
-                          coordinates=header.coordinates, config=cfg)
-    return comp.decompress_parsed(header, sections)
+        out = decompress_roi(header, sections)
+    else:
+        cfg = _config_from_header(header)
+        comp = get_compressor(header.shape, header.dtype, s=header.s,
+                              coordinates=header.coordinates, config=cfg)
+        out = comp.decompress_parsed(header, sections)
+    if header.orig_shape is not None:
+        out = out.reshape(header.orig_shape)
+    return out
 
 
 def _config_from_header(header: fmt.Header) -> Config:

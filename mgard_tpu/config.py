@@ -60,6 +60,12 @@ class Config:
     # records a single lossless id) by turning adaptation off.
     adapt_lossless: bool = True
     zstd_level: int = 1
+    # Reinterpret lopsided shapes as balanced grids before compressing
+    # (reference config.adjust_shape, ShapeAdjustment.hpp:43-77).
+    adjust_shape: bool = False
+    # Device-memory cap driving domain decomposition (reference
+    # config.max_memory_footprint); 0 = auto-detect from the backend.
+    max_memory_footprint: int = 0
     # Threshold (bytes of input) above which compress() splits the domain
     # into blocks (reference DomainDecomposer triggers on the device-memory
     # footprint estimate, DomainDecomposer.hpp:72-89).

@@ -67,6 +67,9 @@ class Header:
     # CRC32 of each payload section (integrity check on decode, same role
     # as the reference's header CRC but extended to the payload).
     section_crcs: Tuple[int, ...] = ()
+    # Original shape before config.adjust_shape reinterpretation
+    # (reference ShapeAdjustment.hpp); None when no adjustment was made.
+    orig_shape: Optional[Tuple[int, ...]] = None
 
     def pack(self) -> bytes:
         out = bytearray()
@@ -86,11 +89,15 @@ class Header:
                            self.roi_scalar)
         out += struct.pack("<BI", self.dd_dim, self.dd_nblocks)
         out += struct.pack("<BB", self.decomposition, self.layout)
-        out += struct.pack("<B", len(self.section_sizes))
+        out += struct.pack("<H", len(self.section_sizes))
         out += struct.pack(f"<{len(self.section_sizes)}Q",
                            *self.section_sizes)
         crcs = self.section_crcs or (0,) * len(self.section_sizes)
         out += struct.pack(f"<{len(crcs)}I", *crcs)
+        if self.orig_shape is not None:
+            out += struct.pack("<B", len(self.orig_shape))
+            out += struct.pack(f"<{len(self.orig_shape)}Q",
+                               *self.orig_shape)
         return bytes(out)
 
     @classmethod
@@ -119,10 +126,15 @@ class Header:
         roi_block, roi_l_th, roi_scalar = take("<HBH")
         dd_dim, dd_nblocks = take("<BI")
         decomposition, layout = take("<BB")
-        (nsec,) = take("<B")
+        (nsec,) = take("<H")
         section_sizes = take(f"<{nsec}Q")
         section_crcs = take(f"<{nsec}I")
-        return cls(dtype=np.dtype(_DTYPES[dtype_code]), shape=tuple(shape),
+        orig_shape = None
+        if off < len(buf):
+            (ondim,) = take("<B")
+            orig_shape = tuple(take(f"<{ondim}Q"))
+        return cls(orig_shape=orig_shape,
+                   dtype=np.dtype(_DTYPES[dtype_code]), shape=tuple(shape),
                    uniform=bool(uniform), coordinates=coordinates,
                    error_mode=error_mode, s=s, tolerance=tolerance,
                    norm=norm, lossless=lossless, n_levels=n_levels,

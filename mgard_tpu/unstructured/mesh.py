@@ -210,3 +210,46 @@ def structured_tet_mesh(n: Tuple[int, int, int]) -> MeshLevel:
                                      v[path[2]]))
     return MeshLevel(nodes=nodes,
                      elements=np.asarray(elements, dtype=np.int64))
+
+
+def load_msh(path) -> MeshLevel:
+    """Load a Gmsh 2.2 ASCII ``.msh`` file as a :class:`MeshLevel`.
+
+    Reads the $Nodes and $Elements sections; keeps the highest-dimension
+    simplices present (type 4 tetrahedra, else type 2 triangles) and
+    drops lower-dimensional boundary elements, renumbering nodes
+    densely.  This covers the reference's unstructured test fixtures
+    (/root/reference/tests/meshes/*.msh, loaded there via MOAB).
+    """
+    nodes = {}
+    tris = []
+    tets = []
+    with open(path) as f:
+        lines = iter(f.read().splitlines())
+    for line in lines:
+        tok = line.strip()
+        if tok == "$Nodes":
+            count = int(next(lines))
+            for _ in range(count):
+                parts = next(lines).split()
+                nodes[int(parts[0])] = [float(x) for x in parts[1:4]]
+        elif tok == "$Elements":
+            count = int(next(lines))
+            for _ in range(count):
+                parts = next(lines).split()
+                etype = int(parts[1])
+                ntags = int(parts[2])
+                conn = [int(x) for x in parts[3 + ntags:]]
+                if etype == 2:
+                    tris.append(conn)
+                elif etype == 4:
+                    tets.append(conn)
+    elements = tets if tets else tris
+    if not elements:
+        raise ValueError(f"{path}: no triangles or tetrahedra found")
+    used = sorted({i for el in elements for i in el})
+    renum = {i: k for k, i in enumerate(used)}
+    coords = np.asarray([nodes[i] for i in used], dtype=np.float64)
+    conn = np.asarray([[renum[i] for i in el] for el in elements],
+                      dtype=np.int64)
+    return MeshLevel(coords, conn)

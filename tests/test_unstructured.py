@@ -117,3 +117,41 @@ def test_compress_rejects_linf():
     hier = UniformMeshHierarchy(structured_triangle_mesh(3, 3), 1)
     with pytest.raises(ValueError):
         compress(hier, np.zeros(hier.ndof()), s=math.inf, tolerance=0.1)
+
+
+def test_msh_loader_and_golden_coefficients():
+    """Load the reference's circle.msh fixture, refine twice, decompose,
+    and check the multilevel coefficients against the reference's golden
+    output (tests/outputs/circle_L=2_coefficients.txt) — nodes matched
+    by coordinates like the reference's own test
+    (tests/src/unstructured/test_UniformMeshHierarchy.cpp:129-170)."""
+    import pathlib
+
+    from mgard_tpu.unstructured.mesh import load_msh
+
+    ref = pathlib.Path("/root/reference/tests")
+    if not (ref / "meshes/circle.msh").exists():
+        pytest.skip("reference mesh fixtures unavailable")
+    root = load_msh(ref / "meshes/circle.msh")
+    assert root.dim == 2 and root.ndof == 67
+    hier = UniformMeshHierarchy(root, 2)
+    fine = hier.meshes[-1]
+
+    golden = np.loadtxt(ref / "outputs/circle_L=2_coefficients.txt")
+    xyz, u_ref, mc_ref = golden[:, :3], golden[:, 3], golden[:, 4]
+    assert len(golden) == fine.ndof
+
+    # match golden rows to our nodes by nearest coordinate
+    d2 = ((fine.nodes[None, :, :3] - xyz[:, None, :]) ** 2).sum(-1)
+    idx = np.argmin(d2, axis=1)
+    assert len(set(idx.tolist())) == fine.ndof  # unique pairing
+    assert np.sqrt(d2[np.arange(len(idx)), idx]).max() < 1e-6
+
+    u = np.zeros(fine.ndof)
+    mc_g = np.zeros(fine.ndof)
+    u[idx] = u_ref
+    mc_g[idx] = mc_ref
+    mc = np.asarray(hier.decompose(u))
+    rel = np.abs(mc - mc_g) / np.maximum(np.abs(mc_g), 1e-12)
+    assert np.median(rel) < 1e-6
+    assert np.quantile(rel, 0.95) < 1e-3, np.quantile(rel, 0.95)
