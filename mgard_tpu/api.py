@@ -108,6 +108,15 @@ def compress(data, tolerance: float, s: float = math.inf,
         if new_shape != arr.shape:
             orig_shape = arr.shape
             arr = arr.reshape(new_shape)
+    if cfg.dd_sizes is not None:
+        sizes = [int(x) for x in cfg.dd_sizes]
+        if sum(sizes) != arr.shape[cfg.dd_dim]:
+            raise ValueError("dd_sizes must sum to the dd_dim extent")
+        edges = np.concatenate([[0], np.cumsum(sizes)]).astype(int)
+        buf = _compress_multiblock(arr, tolerance, s, emode, coordinates,
+                                   cfg, len(sizes), dd_dim=cfg.dd_dim,
+                                   edges=edges)
+        return _finish_adjust(buf, orig_shape)
     nblocks = plan_blocks(arr.shape, arr.dtype, cfg)
     if nblocks > 1:
         buf = _compress_multiblock(arr, tolerance, s, emode, coordinates,
@@ -116,9 +125,13 @@ def compress(data, tolerance: float, s: float = math.inf,
         comp = get_compressor(arr.shape, arr.dtype, s=s,
                               coordinates=coordinates, config=cfg)
         buf = comp.compress(arr, tolerance, mode=emode)
+    return _finish_adjust(buf, orig_shape)
+
+
+def _finish_adjust(buf, orig_shape):
     if orig_shape is not None:
-        header, sections = fmt.read_container(buf)
         import dataclasses
+        header, sections = fmt.read_container(buf)
         header = dataclasses.replace(header, orig_shape=orig_shape)
         buf = fmt.write_container(header, sections)
     return buf
@@ -169,7 +182,7 @@ def _block_coords(coordinates, dd_dim, lo, hi):
 
 
 def _compress_multiblock(arr, tolerance, s, emode, coordinates, cfg,
-                         nblocks):
+                         nblocks, dd_dim=None, edges=None):
     """Domain-decomposed compression (reference DomainDecomposer +
     general_compress, include/mgard-x/CompressionHighLevel/
     CompressionHighLevel.hpp:47-290): split the largest dim into slabs,
@@ -183,8 +196,13 @@ def _compress_multiblock(arr, tolerance, s, emode, coordinates, cfg,
 
     from .parallel.domain import local_abs_tol
 
-    dd_dim = int(np.argmax(arr.shape))
-    edges = _block_edges(arr.shape[dd_dim], nblocks)
+    if dd_dim is None:
+        dd_dim = int(np.argmax(arr.shape))
+    if edges is None:
+        edges = _block_edges(arr.shape[dd_dim], nblocks)
+        dd_edges = None
+    else:
+        dd_edges = tuple(int(x) for x in edges)
 
     abs_tol = float(tolerance)
     norm = 1.0
@@ -237,6 +255,7 @@ def _compress_multiblock(arr, tolerance, s, emode, coordinates, cfg,
         error_mode=int(emode), s=float(s), tolerance=block_tol,
         norm=norm, lossless=lossless, n_levels=0,
         section_sizes=(), dd_dim=dd_dim, dd_nblocks=nblocks,
+        dd_edges=dd_edges,
         decomposition=dec_wire, layout=int(cfg.layout))
     return fmt.write_container(header, sections)
 
@@ -247,7 +266,9 @@ def _decompress_multiblock(header: fmt.Header, sections) -> np.ndarray:
     import dataclasses
     from collections import deque
 
-    edges = _block_edges(header.shape[header.dd_dim], header.dd_nblocks)
+    edges = (np.asarray(header.dd_edges, dtype=int)
+             if header.dd_edges is not None else
+             _block_edges(header.shape[header.dd_dim], header.dd_nblocks))
     per_block = len(sections) // header.dd_nblocks
     bcfg = _config_from_header(header)
     outs = []

@@ -66,6 +66,12 @@ class Config:
     # Device-memory cap driving domain decomposition (reference
     # config.max_memory_footprint); 0 = auto-detect from the backend.
     max_memory_footprint: int = 0
+    # Variable domain decomposition (reference
+    # domain_decomposition_type::Variable + domain_decomposition_sizes):
+    # explicit slab sizes along dd_dim; None = MaxDim uniform slabs
+    # chosen by plan_blocks.
+    dd_sizes: object = None
+    dd_dim: int = 0
     # Threshold (bytes of input) above which compress() splits the domain
     # into blocks (reference DomainDecomposer triggers on the device-memory
     # footprint estimate, DomainDecomposer.hpp:72-89).

@@ -70,6 +70,11 @@ class Header:
     # Original shape before config.adjust_shape reinterpretation
     # (reference ShapeAdjustment.hpp); None when no adjustment was made.
     orig_shape: Optional[Tuple[int, ...]] = None
+    # Explicit block edges along dd_dim for Variable domain decomposition
+    # (reference domain_decomposition_type::Variable, Types.h:50 +
+    # config.domain_decomposition_sizes); None = uniform np.linspace
+    # slabs.
+    dd_edges: Optional[Tuple[int, ...]] = None
 
     def pack(self) -> bytes:
         out = bytearray()
@@ -94,10 +99,16 @@ class Header:
                            *self.section_sizes)
         crcs = self.section_crcs or (0,) * len(self.section_sizes)
         out += struct.pack(f"<{len(crcs)}I", *crcs)
+        flags = ((1 if self.orig_shape is not None else 0)
+                 | (2 if self.dd_edges is not None else 0))
+        out += struct.pack("<B", flags)
         if self.orig_shape is not None:
             out += struct.pack("<B", len(self.orig_shape))
             out += struct.pack(f"<{len(self.orig_shape)}Q",
                                *self.orig_shape)
+        if self.dd_edges is not None:
+            out += struct.pack("<I", len(self.dd_edges))
+            out += struct.pack(f"<{len(self.dd_edges)}Q", *self.dd_edges)
         return bytes(out)
 
     @classmethod
@@ -130,10 +141,16 @@ class Header:
         section_sizes = take(f"<{nsec}Q")
         section_crcs = take(f"<{nsec}I")
         orig_shape = None
+        dd_edges = None
         if off < len(buf):
-            (ondim,) = take("<B")
-            orig_shape = tuple(take(f"<{ondim}Q"))
-        return cls(orig_shape=orig_shape,
+            (flags,) = take("<B")
+            if flags & 1:
+                (ondim,) = take("<B")
+                orig_shape = tuple(take(f"<{ondim}Q"))
+            if flags & 2:
+                (ne,) = take("<I")
+                dd_edges = tuple(take(f"<{ne}Q"))
+        return cls(orig_shape=orig_shape, dd_edges=dd_edges,
                    dtype=np.dtype(_DTYPES[dtype_code]), shape=tuple(shape),
                    uniform=bool(uniform), coordinates=coordinates,
                    error_mode=error_mode, s=s, tolerance=tolerance,

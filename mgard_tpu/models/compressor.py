@@ -308,6 +308,10 @@ class Compressor:
         exponents, words, count, overflow = out
         count = int(count)
         _raise_status(int(overflow))
+        from ..utils import debug
+        debug.check(0 <= count <= int(words.shape[0]),
+                    f"encode word count {count} exceeds capacity "
+                    f"{int(words.shape[0])}")
         exp_np = np.asarray(exponents)
         words_np = np.asarray(words)[:count]
 
@@ -418,7 +422,12 @@ class Compressor:
 
     def decompress_parsed(self, header: fmt.Header,
                           sections: List[bytes]) -> np.ndarray:
-        return np.asarray(self.decode_async(header, sections))
+        out = np.asarray(self.decode_async(header, sections))
+        from ..utils import debug
+        if debug.enabled():
+            debug.check(bool(np.isfinite(out).all()),
+                        "decoded output contains non-finite values")
+        return out
 
     def decode_async(self, header: fmt.Header, sections: List[bytes]):
         """Dispatch the device decode without forcing the result to the

@@ -184,7 +184,9 @@ class ShardedCompressor:
             abs_tol *= norm
         from .domain import local_abs_tol
         block_tol = local_abs_tol(abs_tol, self.s, self.nblocks)
-        tol_arr = jnp.asarray([block_tol], dtype=jnp.float32)
+        # float64 like encode() — a float32 tol here would silently
+        # loosen quanta for tight tolerances on float64 data
+        tol_arr = jnp.asarray([block_tol], dtype=jnp.float64)
         e, w, c = self._encode(v, tol_arr)
         # Ragged gather: per-block true word counts are scalars; only
         # words[:count] of each block's fixed-capacity buffer is payload.
