@@ -59,18 +59,18 @@ __all__ = [
 ]
 
 GROUP = 32          # values per group == bits per word
-CHUNK_GROUPS = 1024  # groups per chunk == words per emitted plane row.
+CHUNK_GROUPS = 2048  # groups per chunk == words per emitted plane row.
 #                     Sized so (a) the fused kernels, which are
 #                     DMA-dispatch-bound (~0.3 us per chunk), issue few,
 #                     large transfers, and (b) one bitplane of one chunk
-#                     is exactly a (8, 128) int32 TPU tile, so the word
-#                     buffer is (rows, 8, 128) and per-chunk DMAs slice
-#                     only the UNTILED outer dim — arbitrary stream
-#                     offsets, no alignment constraints for Mosaic to
-#                     prove.  In the FINE physical-order layout every
+#                     is a whole number of (8, 128) int32 TPU tiles, so
+#                     the word buffer is (rows, G/128, 8, 128)-shaped and
+#                     per-chunk DMAs slice only the UNTILED outer dim —
+#                     arbitrary stream offsets, no alignment constraints
+#                     for Mosaic to prove.  In the FINE physical-order layout every
 #                     chunk mixes levels anyway, so the coarser exponent
 #                     granularity costs almost nothing.
-CHUNK_TILE = 8      # chunks per Pallas grid step (== pallas_kernels.BP_CB);
+CHUNK_TILE = 4      # chunks per Pallas grid step (== pallas_kernels.BP_CB);
 #                     chunk counts are padded to this so the fused condense
 #                     kernels see whole tiles and the capacity buffer has
 #                     one tile of DMA headroom

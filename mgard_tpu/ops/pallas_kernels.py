@@ -31,10 +31,10 @@ _BP_MASKS = [np.uint32(0x0000FFFF), np.uint32(0x00FF00FF),
              np.uint32(0x55555555)]
 _BP_SHIFTS = [16, 8, 4, 2, 1]
 # Chunks per grid step.
-# With 1024-group chunks, 8 chunks per step keeps double-buffered in
-# tiles + planes scratch + temps within VMEM (each (8, 32, 8, 128) u32
+# With 2048-group chunks, 4 chunks per step keeps double-buffered in
+# tiles + planes scratch + temps within VMEM (each (4, 32, 16, 128) u32
 # buffer is 1 MB).
-BP_CB = 8
+BP_CB = 4
 
 
 def _butterfly_rows(rows):
@@ -138,7 +138,7 @@ def bp_encode_core(qc: jax.Array):
 # so it needs no switch at all.
 
 _META_ROWS = 8         # SMEM block sublane quantum
-BP_W = 1024            # == bitplane.CHUNK_GROUPS; one plane = (8, 128)
+BP_W = 2048            # == bitplane.CHUNK_GROUPS; one plane = 2x(8,128)
 
 
 def _pack_meta(offsets: jax.Array, ntiles: int,
@@ -218,7 +218,7 @@ def bp_encode_condense(zc: jax.Array, offsets: jax.Array,
     assert nc % BP_CB == 0
     ntiles = nc // BP_CB
     grid = (ntiles,)
-    zc4 = zc.reshape(nc, 32, 8, 128)
+    zc4 = zc.reshape(nc, 32, 16, 128)
     # total stream rows = last tile's base + its row count
     total = offsets[(ntiles - 1) * BP_CB] + tile_rows[-1]
     meta = _pack_meta(offsets, ntiles, total)
@@ -228,13 +228,13 @@ def bp_encode_condense(zc: jax.Array, offsets: jax.Array,
         in_specs=[
             pl.BlockSpec((_META_ROWS, 128), lambda i: (i // _META_ROWS, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((BP_CB, 32, 8, 128), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((BP_CB, 32, 16, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((cap_rows, 8, 128), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((cap_rows, 16, 128), jnp.uint32),
         scratch_shapes=[
-            pltpu.VMEM((BP_CB, 32, 8, 128), jnp.uint32),
+            pltpu.VMEM((BP_CB, 32, 16, 128), jnp.uint32),
             pltpu.SemaphoreType.DMA((BP_CB,)),
         ],
     )(meta, zc4)
@@ -265,8 +265,8 @@ def _bp_dec_condense_kernel(meta_ref, e_ref, words_ref, out_ref,
                             planes_ref, sems):
     _dec_dma_loop(meta_ref, planes_ref, words_ref, sems, 'start')
     _dec_dma_loop(meta_ref, planes_ref, words_ref, sems, 'wait')
-    e = e_ref[:]                                   # (CB, 8, 128) int32
-    b_idx = jax.lax.broadcasted_iota(jnp.int32, (BP_CB, 32, 8, 128), 1)
+    e = e_ref[:]                                   # (CB, 16, 128) int32
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, (BP_CB, 32, 16, 128), 1)
     planes = jnp.where(b_idx < e[:, None], planes_ref[:], np.uint32(0))
     rows = _butterfly_rows([planes[:, i] for i in range(32)])
     z = jnp.stack(rows, axis=1).astype(jnp.int32)
@@ -285,8 +285,8 @@ def bp_decode_condense(words2d: jax.Array, offsets: jax.Array,
     assert nc % BP_CB == 0
     ntiles = nc // BP_CB
     cap_rows = words2d.shape[0]
-    words4 = words2d.reshape(cap_rows, 8, 128)
-    e_b = jnp.broadcast_to(e[:, None, None], (nc, 8, 128)).astype(jnp.int32)
+    words4 = words2d.reshape(cap_rows, 16, 128)
+    e_b = jnp.broadcast_to(e[:, None, None], (nc, 16, 128)).astype(jnp.int32)
     grid = (ntiles,)
     total = offsets[(ntiles - 1) * BP_CB] \
         + jnp.sum(e[(ntiles - 1) * BP_CB:]).astype(jnp.int32)
@@ -297,15 +297,15 @@ def bp_decode_condense(words2d: jax.Array, offsets: jax.Array,
         in_specs=[
             pl.BlockSpec((_META_ROWS, 128), lambda i: (i // _META_ROWS, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((BP_CB, 8, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((BP_CB, 16, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((BP_CB, 32, 8, 128), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((BP_CB, 32, 16, 128), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nc, 32, 8, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nc, 32, 16, 128), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((BP_CB, 32, 8, 128), jnp.uint32),
+            pltpu.VMEM((BP_CB, 32, 16, 128), jnp.uint32),
             pltpu.SemaphoreType.DMA((BP_CB,)),
         ],
     )(meta, e_b, words4)

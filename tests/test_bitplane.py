@@ -35,8 +35,9 @@ def test_small_magnitudes_compress():
     rng = np.random.default_rng(9)
     vals = rng.integers(-3, 4, size=32 * 1000).astype(np.int32)
     e, words, count = _roundtrip(vals)
-    # <= 3 magnitude planes + sign word per group
-    assert count <= 4 * 1000
+    # |v| <= 3 -> zigzag <= 7 -> at most 3 bitplane rows per chunk
+    nchunks = bitplane.num_chunks_tiled(len(vals))
+    assert count <= 3 * nchunks * bitplane.CHUNK_GROUPS
     nbytes = bitplane.encoded_nbytes(np.asarray(e), count)
     assert nbytes < vals.nbytes / 2
 

@@ -26,10 +26,18 @@ from mgard_tpu.models.compressor import Compressor
 from mgard_tpu.ops import bitplane
 
 
+@jax.jit
+def _fold(*leaves):
+    acc = jnp.zeros((), jnp.float32)
+    for leaf in leaves:
+        acc = acc + leaf.reshape(-1)[0].astype(jnp.float32)
+    return acc
+
+
 def sync(out):
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    picker = jax.jit(lambda a: a.reshape(-1)[0])
-    return np.asarray(picker(leaf))
+    """Fold one element of EVERY leaf — single-leaf readbacks can
+    return before sibling buffers land on the tunneled backend."""
+    return np.asarray(_fold(*jax.tree_util.tree_leaves(out)))
 
 
 def timed(name, fn, *args, n1=2, n2=6):

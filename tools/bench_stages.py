@@ -28,11 +28,18 @@ from mgard_tpu.ops.quantize import (quantize_blocks, dequantize_blocks,
                                     quantize_pyramid, dequantize_pyramid)
 
 
+@jax.jit
+def _fold(*leaves):
+    acc = jnp.zeros((), jnp.float32)
+    for leaf in leaves:
+        acc = acc + leaf.reshape(-1)[0].astype(jnp.float32)
+    return acc
+
+
 def sync(out):
-    """Force real completion: readback of one tiny leaf via jitted picker."""
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    picker = jax.jit(lambda a: a.reshape(-1)[0])
-    return np.asarray(picker(leaf))
+    """Force real completion: fold one element of EVERY output leaf
+    (single-leaf readbacks can return early through the tunnel)."""
+    return np.asarray(_fold(*jax.tree_util.tree_leaves(out)))
 
 
 def timed(name, fn, *args, n1=2, n2=6):
