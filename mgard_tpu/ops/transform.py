@@ -376,6 +376,21 @@ def _use_matmul(hier: Hierarchy, l: int) -> bool:
         hier.dims[d][l].n <= _MATMUL_MAX_N for d in _level_dims(hier, l))
 
 
+# Pallas stencil kernels for the interpolation half of a level step
+# (ops/stencil_kernels.py): multilinear interp as per-dim +-1 lerps on
+# the VPU instead of 0/1- and 2-nonzero-matrix matmuls on the MXU.
+# Gated on the same predicate for encode and decode so both sides run
+# bit-identical arithmetic.
+_GPK = os.environ.get("MGARD_TPU_GPK", "1") == "1"
+
+
+def _use_gpk(hier: Hierarchy, A: jax.Array, l: int) -> bool:
+    if not _GPK or A.dtype != jnp.float32:
+        return False
+    from . import stencil_kernels as sk
+    return sk.gpk_supported(hier, l, decode=True)
+
+
 def _prolong_matrices(hier: Hierarchy, l: int):
     """Per-dim (nc, n) prolongation matrices for level ``l`` (host,
     cached): the transpose of the restriction matrix (adjoint pair,
@@ -483,8 +498,12 @@ def decompose(hier: Hierarchy, v: jax.Array) -> List[jax.Array]:
     A = v
     for l in range(hier.L, 0, -1):
         C = _extract_old_all(hier, A, l)
-        P = _prolong_all(hier, C, l)
-        detail = A - P
+        if _use_gpk(hier, A, l):
+            from . import stencil_kernels as sk
+            detail = sk.gpk_detail(hier, A, l)
+        else:
+            P = _prolong_all(hier, C, l)
+            detail = A - P
         pyramid[l] = detail
         A = C + _correction(hier, detail, l)
     pyramid[0] = A
@@ -507,8 +526,12 @@ def recompose_to_level(hier: Hierarchy, pyramid: Sequence[jax.Array],
     for l in range(1, lmax + 1):
         detail = pyramid[l]
         C = A - _correction(hier, detail, l)
-        P = _prolong_all(hier, C, l)
-        A = P + detail
+        if _use_gpk(hier, detail, l):
+            from . import stencil_kernels as sk
+            A = sk.gpk_prolong_add(hier, C, detail, l)
+        else:
+            P = _prolong_all(hier, C, l)
+            A = P + detail
     return A
 
 
