@@ -40,6 +40,14 @@ class Layout(enum.IntEnum):
                       # pyramid_to_fine, decode unflattens with free
                       # slices) and chunks become level-pure, which the
                       # per-chunk exponents reward with a better ratio.
+    PYRAMID_SEG = 3   # PYRAMID with each level padded to whole codec
+                      # chunks (zero tails emit no stream rows).  Every
+                      # level then feeds the bitplane codec directly —
+                      # quantize+zigzag fuse into the codec kernel and
+                      # the levels condense into one shared buffer, with
+                      # no 1-D stream concatenation on either side.
+                      # Default; non-bitplane losslesses and f64 fall
+                      # back to the identical-bytes PYRAMID stream.
 
 
 class ErrorMode(enum.IntEnum):
@@ -54,7 +62,7 @@ class Config:
     # Block-local levels for Decomposition.HYBRID (reference
     # config.num_local_refactoring_level, Config.cpp:40).
     num_local_levels: int = 1
-    layout: Layout = Layout.PYRAMID
+    layout: Layout = Layout.PYRAMID_SEG
     # Small domains upgrade BITPLANE -> per-group variants for ratio; the
     # multiblock path pins one choice for all blocks (the container header
     # records a single lossless id) by turning adaptation off.

@@ -70,9 +70,24 @@ class Compressor:
         self._hybrid_hc = None
         self._nstream = hier.ndof()
         if self.config.decomposition == Decomposition.MULTIDIM \
-                and self.config.layout == Layout.PYRAMID:
+                and self.config.layout in (Layout.PYRAMID,
+                                           Layout.PYRAMID_SEG):
             self._nstream = sum(
                 int(np.prod(hier.shapes[l])) for l in range(hier.L + 1))
+        # Segmented pyramid codec (PYRAMID_SEG): per-level chunk-aligned
+        # streams with quantize+zigzag fused into the codec kernels.
+        # Applies only to the chunked bitplane losslesses on f32 MULTIDIM
+        # data; everything else keeps the identical-bytes PYRAMID stream
+        # (the header's layout byte plus these same fields lets decode
+        # make the same determination).
+        self._seg_capable = (
+            self.config.decomposition == Decomposition.MULTIDIM
+            and self.config.layout == Layout.PYRAMID_SEG
+            and self.dtype == np.dtype(np.float32))
+        self._segmented = self._seg_capable and lossless in (
+            Lossless.BITPLANE, Lossless.BITPLANE_ZSTD)
+        self._seg_sizes = tuple(
+            int(np.prod(hier.shapes[l])) for l in range(hier.L + 1))
         if self.config.decomposition == Decomposition.HYBRID:
             from ..ops import transform_hybrid as th
             self._hybrid_k = max(1, int(self.config.num_local_levels))
@@ -95,7 +110,7 @@ class Compressor:
                                Lossless.BITPLANE_GROUP_ZSTD)
         self._encode = jax.jit(functools.partial(self._encode_impl,
                                                  grouped=grouped))
-        self._decode = self._decode_fn(grouped)
+        self._decode = self._decode_fn(grouped, self._segmented)
         # Host-side lossless paths (reference-compatible Huffman, raw):
         # the device kernel stops at the quantized stream.
         self._encode_raw = jax.jit(self._quantized_flat)
@@ -172,7 +187,7 @@ class Compressor:
             coarse, slabs = sd.decompose_sd(hier, v)
             coarse, slabs = sd.scale_slabs(hier, coarse, slabs, self.s, tol)
             scaledf = sd.flatten_slabs(hier, coarse, slabs)
-        elif self.config.layout == Layout.PYRAMID:
+        elif self.config.layout in (Layout.PYRAMID, Layout.PYRAMID_SEG):
             from ..ops.quantize import scale_pyramid
             pyr = transform.decompose(hier, v)
             spyr = scale_pyramid(hier, pyr, self.s, tol)
@@ -222,7 +237,7 @@ class Compressor:
             coarse, slabs = sd.unscale_slabs(hier, coarse, slabs, self.s,
                                              tol, self.dtype)
             return sd.recompose_sd(hier, coarse, slabs)
-        if self.config.layout == Layout.PYRAMID:
+        if self.config.layout in (Layout.PYRAMID, Layout.PYRAMID_SEG):
             from ..ops.quantize import dequantize_pyramid
             qpyr = []
             off = 0
@@ -252,14 +267,44 @@ class Compressor:
         return transform.recompose(hier, pyr)
 
     def _encode_impl(self, v: jax.Array, tol: jax.Array, grouped: bool):
+        if self._segmented and not grouped:
+            from ..ops.quantize import scale_pyramid, supremum_quantum
+            pyr = transform.decompose(self.hier, v)
+            if math.isinf(self.s):
+                inv_q = (1.0 / supremum_quantum(self.hier, tol)
+                         ).astype(jnp.float32)
+                segs = pyr
+            else:
+                segs = scale_pyramid(self.hier, pyr, self.s, tol)
+                inv_q = jnp.float32(1.0)
+            return bitplane.encode_segments(segs, inv_q)
         flat, overflow = self._quantized_flat(v, tol)
         enc = bitplane.encode_pergroup if grouped else bitplane.encode
         exponents, words, count = enc(flat)
         return exponents, words, count, overflow
 
     @functools.lru_cache(maxsize=4)
-    def _decode_fn(self, grouped: bool):
+    def _decode_fn(self, grouped: bool, segmented: bool = False):
+        hier = self.hier
+
         def impl(exponents: jax.Array, words: jax.Array, tol: jax.Array):
+            if segmented:
+                from ..ops.quantize import (dequantize_pyramid,
+                                            supremum_quantum)
+                if math.isinf(self.s):
+                    q = supremum_quantum(hier, tol).astype(jnp.float32)
+                    segs = bitplane.decode_segments(
+                        exponents, words, self._seg_sizes, quantum=q)
+                    pyr = [s.reshape(hier.shapes[l])
+                           for l, s in enumerate(segs)]
+                else:
+                    segs = bitplane.decode_segments(
+                        exponents, words, self._seg_sizes)
+                    qpyr = [s.reshape(hier.shapes[l])
+                            for l, s in enumerate(segs)]
+                    pyr = dequantize_pyramid(hier, qpyr, self.s, tol,
+                                             self.dtype)
+                return transform.recompose(hier, pyr)
             dec = (bitplane.decode_pergroup if grouped
                    else bitplane.decode)
             flat = dec(exponents, words, self._nstream)
@@ -445,24 +490,32 @@ class Compressor:
         ndof = self._nstream
         grouped = header.lossless in (int(Lossless.BITPLANE_GROUP),
                                       int(Lossless.BITPLANE_GROUP_ZSTD))
-        # per-group exponent arrays are padded to whole chunks by _to_rows
-        n_exp = (bitplane.num_chunks(ndof) * bitplane.CHUNK_GROUPS
-                 if grouped else bitplane.num_chunks_tiled(ndof))
+        segmented = self._seg_capable and header.lossless in (
+            int(Lossless.BITPLANE), int(Lossless.BITPLANE_ZSTD))
+        if segmented:
+            n_exp = sum(bitplane.num_chunks_tiled(sz)
+                        for sz in self._seg_sizes)
+            cap = bitplane.max_words_segments(self._seg_sizes)
+        elif grouped:
+            # per-group exponent arrays are padded to whole chunks
+            n_exp = bitplane.num_chunks(ndof) * bitplane.CHUNK_GROUPS
+            cap = bitplane.max_words(ndof)
+        else:
+            n_exp = bitplane.num_chunks_tiled(ndof)
+            cap = bitplane.max_words(ndof)
         if header.lossless in (int(Lossless.BITPLANE_ZSTD),
                                int(Lossless.BITPLANE_GROUP_ZSTD)):
             import zstandard
             dctx = zstandard.ZstdDecompressor()
             exp_bytes = dctx.decompress(exp_bytes, max_output_size=n_exp)
-            word_bytes = dctx.decompress(
-                word_bytes, max_output_size=4 * bitplane.max_words(ndof))
+            word_bytes = dctx.decompress(word_bytes, max_output_size=4 * cap)
         exponents = np.zeros(n_exp, dtype=np.uint8)
         stored_exp = np.frombuffer(exp_bytes, dtype=np.uint8)
         exponents[:len(stored_exp)] = stored_exp
         words = np.frombuffer(word_bytes, dtype="<u4")
-        cap = bitplane.max_words(ndof)
         words_full = np.zeros(cap, dtype=np.uint32)
         words_full[:len(words)] = words
-        return self._decode_fn(grouped)(
+        return self._decode_fn(grouped, segmented)(
             jnp.asarray(exponents), jnp.asarray(words_full),
             header.tolerance)
 

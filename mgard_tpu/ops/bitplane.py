@@ -54,6 +54,7 @@ def _use_pallas() -> bool:
 
 __all__ = [
     "encode", "decode", "encode_pergroup", "decode_pergroup",
+    "encode_segments", "decode_segments", "max_words_segments",
     "GROUP", "CHUNK_GROUPS", "max_words", "encoded_nbytes",
     "transpose32",
 ]
@@ -305,6 +306,168 @@ def decode(exponents: jax.Array, words: jax.Array, n: int) -> jax.Array:
 
     z = transpose32_mid(planes_c)                    # (nc, 32, C) zigzag
     return _unzigzag(z).reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------------------
+# Segmented codec (PYRAMID_SEG layout): each segment (pyramid level)
+# padded to whole chunks; quantize+zigzag fused into the codec; one
+# shared stream buffer written via aliased condense calls — no 1-D
+# concatenation of the coefficient stream anywhere (the XLA concat of
+# odd-offset level flats cost 6.7 ms of the 512^3 encode).
+# ---------------------------------------------------------------------------
+
+def max_words_segments(sizes) -> int:
+    """Stream-buffer word capacity for segmented encode of ``sizes``."""
+    return sum(num_chunks_tiled(int(n)) for n in sizes) \
+        * CHUNK_GROUPS * (GROUP + 1)
+
+
+def _condense_xla(zc: jax.Array, offsets: jax.Array,
+                  cap_rows: int) -> jax.Array:
+    """XLA row-gather condense (CPU fallback): (nchunks, 32, C) zigzag
+    planes -> (cap_rows, C) stream rows (tail garbage)."""
+    nchunks = zc.shape[0]
+    C = CHUNK_GROUPS
+    planes_c = transpose32_mid(zc)
+    marks = jnp.zeros(cap_rows + 1, dtype=jnp.int32).at[offsets].add(
+        1, indices_are_sorted=True)
+    cid = jnp.clip(jnp.cumsum(marks[:-1]) - 1, 0, nchunks - 1)
+    j = jnp.arange(cap_rows, dtype=jnp.int32)
+    plane_idx = jnp.clip(j - offsets[cid], 0, GROUP - 1)
+    return jnp.take(planes_c.reshape(nchunks * GROUP, C),
+                    cid * GROUP + plane_idx, axis=0)
+
+
+def _decode_chunks_xla(rows: jax.Array, offsets: jax.Array,
+                       e: jax.Array) -> jax.Array:
+    """XLA fallback: gather each chunk's plane rows and un-transpose.
+    Returns (nchunks, 32, C) int32 (zigzag undone)."""
+    cap_rows = rows.shape[0]
+    b = jnp.arange(GROUP, dtype=jnp.int32)[None, :]
+    idx = offsets[:, None] + b
+    valid = b < e[:, None]
+    idx_c = jnp.clip(idx, 0, cap_rows - 1)
+    planes_c = jnp.where(valid[:, :, None],
+                         jnp.take(rows, idx_c, axis=0), np.uint32(0))
+    z = transpose32_mid(planes_c)
+    return _unzigzag(z)
+
+
+def _seg_chunked(seg: jax.Array, nc: int, dtype) -> jax.Array:
+    """Flatten a segment and pad to ``nc`` whole chunks."""
+    f = seg.reshape(-1)
+    pad = nc * GROUP * CHUNK_GROUPS - f.shape[0]
+    if pad:
+        f = jnp.concatenate([f, jnp.zeros(pad, f.dtype)])
+    return f.reshape(nc, GROUP, CHUNK_GROUPS)
+
+
+def encode_segments(segs, inv_q):
+    """Fused quantize+encode of a list of float32 segments.
+
+    Each segment is scaled by the scalar ``inv_q`` (pass 1.0 if already
+    scaled), rounded half-away-from-zero, zigzag-mapped and bitplane-
+    condensed into ONE stream whose chunks are segment-aligned (each
+    segment padded to whole chunks — the zero tail emits no rows).
+
+    Returns ``(exponents uint8 (total_chunks,), words uint32 (cap,),
+    count int32, status int32)`` with status codes matching
+    compressor._raise_status (1 overflow, 2 non-finite).
+    """
+    C = CHUNK_GROUPS
+    ncs = [num_chunks_tiled(int(np.prod(s.shape))) for s in segs]
+    bounds = np.concatenate([[0], np.cumsum(ncs)]).astype(int)
+    total_chunks = int(bounds[-1])
+    cap_rows = total_chunks * (GROUP + 1)
+
+    if _use_pallas():
+        from .pallas_kernels import (bp_condense_into, bp_encode_condense,
+                                     bp_quant_zigzag)
+        zcs, zmaxs, flags = [], [], []
+        for seg, nc in zip(segs, ncs):
+            zc, zm, fl = bp_quant_zigzag(_seg_chunked(seg, nc, seg.dtype),
+                                         inv_q)
+            zcs.append(zc)
+            zmaxs.append(zm)
+            flags.append(fl)
+        e = _bit_length32(jnp.concatenate(zmaxs))
+        ends = jnp.cumsum(e)
+        offsets = (ends - e).astype(jnp.int32)
+        total_rows = ends[-1].astype(jnp.int32)
+        buf = None
+        for k, zc in enumerate(zcs):
+            a, b = int(bounds[k]), int(bounds[k + 1])
+            off_k = jax.lax.slice_in_dim(offsets, a, b)
+            seg_end = (offsets[b] if b < total_chunks else total_rows)
+            if buf is None:
+                nexts = jnp.concatenate(
+                    [off_k[CHUNK_TILE::CHUNK_TILE], seg_end.reshape(1)])
+                tile_rows = (nexts - off_k[::CHUNK_TILE]).astype(jnp.int32)
+                buf = bp_encode_condense(zc, off_k, tile_rows, cap_rows)
+                buf = buf.reshape(-1, 16, 128)
+            else:
+                buf = bp_condense_into(zc, off_k, seg_end, buf)
+        status = jnp.max(jnp.concatenate(flags))
+        return (e.astype(jnp.uint8), buf.reshape(-1),
+                (total_rows * C).astype(jnp.int32), status)
+
+    # XLA fallback (CPU tests)
+    zcs, codes = [], []
+    for seg, nc in zip(segs, ncs):
+        raw = seg.reshape(-1)
+        bad = jnp.logical_not(jnp.all(jnp.isfinite(raw))).astype(jnp.int32)
+        x = raw * jnp.asarray(inv_q, seg.dtype)
+        a = jnp.abs(x) + 0.5
+        over = jnp.logical_not(
+            jnp.max(a) < np.float64(2 ** 31)).astype(jnp.int32)
+        codes.append(jnp.maximum(2 * bad, over))
+        q = jnp.trunc(jnp.copysign(a, x)).astype(jnp.int32)
+        zcs.append(_zigzag(_seg_chunked(q, nc, q.dtype)))
+    zc = jnp.concatenate(zcs, axis=0)
+    e = _chunk_exponents(zc)
+    ends = jnp.cumsum(e)
+    offsets = (ends - e).astype(jnp.int32)
+    rows = _condense_xla(zc, offsets, cap_rows)
+    status = jnp.max(jnp.stack(codes))
+    return (e.astype(jnp.uint8), rows.reshape(-1),
+            (ends[-1] * C).astype(jnp.int32), status)
+
+
+def decode_segments(exponents: jax.Array, words: jax.Array, sizes,
+                    quantum=None):
+    """Inverse of :func:`encode_segments`.
+
+    ``sizes``: static per-segment value counts.  With ``quantum`` (a
+    traced scalar) the dequantize multiply is fused into the decode and
+    float32 segments are returned; otherwise int32.
+    """
+    C = CHUNK_GROUPS
+    ncs = [num_chunks_tiled(int(n)) for n in sizes]
+    bounds = np.concatenate([[0], np.cumsum(ncs)]).astype(int)
+    e = exponents.astype(jnp.int32)
+    ends = jnp.cumsum(e)
+    offsets = (ends - e).astype(jnp.int32)
+    rows = words.reshape(-1, C)
+    use_pallas = _use_pallas()
+    outs = []
+    for k, n in enumerate(sizes):
+        a, b = int(bounds[k]), int(bounds[k + 1])
+        off_k = jax.lax.slice_in_dim(offsets, a, b)
+        e_k = jax.lax.slice_in_dim(e, a, b)
+        if use_pallas:
+            from .pallas_kernels import (bp_decode_condense,
+                                         bp_decode_condense_f32)
+            if quantum is not None:
+                seg = bp_decode_condense_f32(rows, off_k, e_k, quantum)
+            else:
+                seg = bp_decode_condense(rows, off_k, e_k)
+        else:
+            seg = _decode_chunks_xla(rows, off_k, e_k)
+            if quantum is not None:
+                seg = seg.astype(jnp.float32) * jnp.asarray(
+                    quantum, jnp.float32)
+        outs.append(seg.reshape(-1)[:int(n)])
+    return outs
 
 
 # ---------------------------------------------------------------------------

@@ -240,6 +240,181 @@ def bp_encode_condense(zc: jax.Array, offsets: jax.Array,
     )(meta, zc4)
 
 
+# ---------------------------------------------------------------------------
+# Segmented-stream additions (PYRAMID_SEG layout): quantize+zigzag fused
+# into the codec, condense DMA-writes into one shared buffer per level
+# ---------------------------------------------------------------------------
+
+def _bp_quant_kernel(invq_ref, x_ref, zc_ref, zmax_ref, flag_ref):
+    """scale -> round-half-away -> zigzag -> per-chunk max + status.
+
+    ``x``: (CB, 32, 16, 128) float32 coefficients; ``invq``: scalar
+    inverse quantum (1.0 when the caller pre-scaled).  Status code per
+    chunk: 2 = non-finite value (NaN/Inf input), 1 = |q| past the int32
+    ceiling (tolerance too tight), matching compressor._raise_status.
+    """
+    raw = x_ref[:]
+    bad = jnp.logical_not(jnp.isfinite(raw))   # non-finite INPUT (code 2)
+    x = raw * invq_ref[0, 0]
+    a = jnp.abs(x) + 0.5
+    over = a >= np.float32(2.0 ** 31)          # incl. f32-inf overflow
+    t = jnp.trunc(a)
+    q = jnp.where(x < 0, -t, t).astype(jnp.int32)
+    z = (jax.lax.shift_left(q, np.int32(1))
+         ^ jax.lax.shift_right_arithmetic(q, np.int32(31))
+         ).astype(jnp.uint32)
+    zc_ref[:] = z
+    # Mosaic has no unsigned reductions: flip the sign bit so signed
+    # int32 order equals unsigned order, reduce, flip back.
+    zs = pltpu.bitcast(z ^ np.uint32(0x80000000), jnp.int32)
+    zl = jnp.max(zs, axis=(1, 2))                    # (CB, 128)
+    zm = jnp.max(zl, axis=-1, keepdims=True)         # (CB, 1)
+    zmu = pltpu.bitcast(zm, jnp.uint32) ^ np.uint32(0x80000000)
+    # per-tile (1, 8, 128) metadata blocks (sublane-8 tiling): rows
+    # 0..CB-1 carry the chunk maxima / status codes
+    pad = jnp.zeros((8 - BP_CB, 128), jnp.uint32)
+    zmax_ref[:] = jnp.concatenate(
+        [jnp.broadcast_to(zmu, (BP_CB, 128)), pad], axis=0)[None]
+    code = jnp.maximum(
+        2 * jnp.max(jnp.max(bad.astype(jnp.int32), axis=(1, 2)),
+                    axis=-1, keepdims=True),
+        jnp.max(jnp.max(over.astype(jnp.int32), axis=(1, 2)),
+                axis=-1, keepdims=True))
+    flag_ref[:] = jnp.concatenate(
+        [jnp.broadcast_to(code, (BP_CB, 128)),
+         pad.astype(jnp.int32)], axis=0)[None]
+
+
+def bp_quant_zigzag(xc: jax.Array, inv_q) -> tuple:
+    """(nchunks, 32, BP_W) float32 -> (zigzag chunks uint32 (same view),
+    per-chunk max uint32 (nchunks,), per-chunk status int32 (nchunks,))."""
+    nc = xc.shape[0]
+    assert nc % BP_CB == 0
+    x4 = xc.reshape(nc, 32, 16, 128)
+    invq = jnp.asarray(inv_q, jnp.float32).reshape(1, 1)
+    zc, zmax, flag = pl.pallas_call(
+        _bp_quant_kernel,
+        grid=(nc // BP_CB,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((BP_CB, 32, 16, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((BP_CB, 32, 16, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nc, 32, 16, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((nc // BP_CB, 8, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((nc // BP_CB, 8, 128), jnp.int32),
+        ),
+    )(invq, x4)
+    return (zc.reshape(nc, 32, BP_W),
+            zmax[:, :BP_CB, 0].reshape(nc),
+            flag[:, :BP_CB, 0].reshape(nc))
+
+
+def _bp_condense_into_kernel(meta_ref, q_ref, _buf_ref, out_ref,
+                             planes_ref, sems):
+    z = q_ref[:]                                   # (CB, 32, 16, 128) uint32
+    rows = _butterfly_rows([z[:, i] for i in range(32)])
+    planes_ref[:] = jnp.stack(rows, axis=1)
+    _enc_dma_loop(meta_ref, planes_ref, out_ref, sems, 'start')
+    _enc_dma_loop(meta_ref, planes_ref, out_ref, sems, 'wait')
+
+
+def bp_condense_into(zc: jax.Array, offsets: jax.Array,
+                     total_rows: jax.Array, buf: jax.Array) -> jax.Array:
+    """Condense one segment's chunks into a SHARED stream buffer.
+
+    ``zc``: (nchunks, 32, BP_W) uint32 zigzag chunks (nchunks % BP_CB
+    == 0); ``offsets``: (nchunks,) int32 GLOBAL plane-row offsets;
+    ``total_rows``: scalar int32 — the stream row offset one past this
+    segment's last chunk; ``buf``: (cap_rows, 16, 128) uint32 stream
+    buffer, ALIASED to the output (chained across segments with no
+    copies — the reference serializes per-subdomain streams into one
+    buffer the same way, Compressor.hpp Serialize)."""
+    nc = zc.shape[0]
+    assert nc % BP_CB == 0
+    ntiles = nc // BP_CB
+    zc4 = zc.reshape(nc, 32, 16, 128)
+    meta = _pack_meta(offsets, ntiles, total_rows)
+    return pl.pallas_call(
+        _bp_condense_into_kernel,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((_META_ROWS, 128), lambda i: (i // _META_ROWS, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((BP_CB, 32, 16, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct(buf.shape, jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((BP_CB, 32, 16, 128), jnp.uint32),
+            pltpu.SemaphoreType.DMA((BP_CB,)),
+        ],
+        input_output_aliases={2: 0},
+    )(meta, zc4, buf)
+
+
+def _bp_dec_condense_f32_kernel(q_ref, meta_ref, e_ref, words_ref, out_ref,
+                                planes_ref, sems):
+    _dec_dma_loop(meta_ref, planes_ref, words_ref, sems, 'start')
+    _dec_dma_loop(meta_ref, planes_ref, words_ref, sems, 'wait')
+    e = e_ref[:]                                   # (CB, 16, 128) int32
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, (BP_CB, 32, 16, 128), 1)
+    planes = jnp.where(b_idx < e[:, None], planes_ref[:], np.uint32(0))
+    rows = _butterfly_rows([planes[:, i] for i in range(32)])
+    z = jnp.stack(rows, axis=1).astype(jnp.int32)
+    v = jax.lax.shift_right_logical(z, np.int32(1)) ^ -(z & 1)
+    out_ref[:] = v.astype(jnp.float32) * q_ref[0, 0]
+
+
+def bp_decode_condense_f32(words2d: jax.Array, offsets: jax.Array,
+                           e: jax.Array, quantum) -> jax.Array:
+    """Like :func:`bp_decode_condense` but fuses the dequantize multiply
+    (uniform scalar quantum) into the kernel, returning float32."""
+    nc = offsets.shape[0]
+    assert nc % BP_CB == 0
+    ntiles = nc // BP_CB
+    cap_rows = words2d.shape[0]
+    words4 = words2d.reshape(cap_rows, 16, 128)
+    e_b = jnp.broadcast_to(e[:, None, None], (nc, 16, 128)).astype(jnp.int32)
+    total = offsets[(ntiles - 1) * BP_CB] \
+        + jnp.sum(e[(ntiles - 1) * BP_CB:]).astype(jnp.int32)
+    meta = _pack_meta(offsets, ntiles, total)
+    q = jnp.asarray(quantum, jnp.float32).reshape(1, 1)
+    out = pl.pallas_call(
+        _bp_dec_condense_f32_kernel,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((_META_ROWS, 128), lambda i: (i // _META_ROWS, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((BP_CB, 16, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((BP_CB, 32, 16, 128), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nc, 32, 16, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((BP_CB, 32, 16, 128), jnp.uint32),
+            pltpu.SemaphoreType.DMA((BP_CB,)),
+        ],
+    )(q, meta, e_b, words4)
+    return out.reshape(nc, 32, BP_W)
+
+
 def _dec_dma_loop(meta_ref, planes_ref, words_ref, sems,
                   action: str) -> None:
     """Fixed-size 32-row read per chunk (reads may overlap; garbage

@@ -86,3 +86,64 @@ def test_int32_min_edge():
     # abs(INT32_MIN) overflows int32; the codec works on uint32 magnitudes.
     vals = np.array([np.iinfo(np.int32).min + 1, -1, 1], np.int32)
     _roundtrip(vals)
+
+
+# ---------------------------------------------------------------------------
+# Segmented codec (PYRAMID_SEG): fused quantize + per-segment chunks
+# ---------------------------------------------------------------------------
+
+def test_segments_roundtrip_matches_reference_quantization():
+    rng = np.random.default_rng(7)
+    sizes = [(3, 3, 3), (5, 5, 5), (9, 9, 9), (17, 17, 17)]
+    segs = [jnp.asarray(rng.standard_normal(s), dtype=jnp.float32)
+            for s in sizes]
+    inv_q = jnp.float32(1000.0)
+    e, words, count, status = bitplane.encode_segments(segs, inv_q)
+    assert int(status) == 0
+    nvals = [int(np.prod(s)) for s in sizes]
+    outs = bitplane.decode_segments(e, words, nvals)
+    for seg, out in zip(segs, outs):
+        f = np.asarray(seg).reshape(-1)
+        want = np.trunc(np.copysign(0.5 + np.abs(f * 1000.0),
+                                    f)).astype(np.int32)
+        np.testing.assert_array_equal(np.asarray(out), want)
+
+
+def test_segments_fused_dequantize_matches_plain():
+    rng = np.random.default_rng(8)
+    segs = [jnp.asarray(rng.standard_normal((4, 4, 4)), dtype=jnp.float32),
+            jnp.asarray(rng.standard_normal((7, 7, 7)), dtype=jnp.float32)]
+    inv_q = jnp.float32(250.0)
+    e, words, _, _ = bitplane.encode_segments(segs, inv_q)
+    nvals = [64, 343]
+    plain = bitplane.decode_segments(e, words, nvals)
+    fused = bitplane.decode_segments(e, words, nvals,
+                                     quantum=jnp.float32(1 / 250.0))
+    for p, f in zip(plain, fused):
+        np.testing.assert_allclose(
+            np.asarray(p).astype(np.float32) * np.float32(1 / 250.0),
+            np.asarray(f), rtol=0, atol=0)
+
+
+def test_segments_status_codes():
+    good = jnp.asarray(np.ones((4, 4), np.float32))
+    nan = jnp.asarray(np.array([[np.nan, 1.0], [2.0, 3.0]], np.float32))
+    _, _, _, st = bitplane.encode_segments([good, nan], jnp.float32(10.0))
+    assert int(st) == 2
+    # overflow: scaled magnitude past the int32 ceiling
+    _, _, _, st = bitplane.encode_segments([good], jnp.float32(2.0 ** 32))
+    assert int(st) == 1
+    _, _, _, st = bitplane.encode_segments([good], jnp.float32(10.0))
+    assert int(st) == 0
+
+
+def test_segments_zero_tail_chunks_cost_nothing():
+    # a segment is padded to whole chunk tiles; the all-zero pad chunks
+    # must emit no stream rows (exponent 0)
+    rng = np.random.default_rng(9)
+    one = jnp.asarray(rng.standard_normal(100), dtype=jnp.float32)
+    e1, _, c1, _ = bitplane.encode_segments([one], jnp.float32(100.0))
+    e1 = np.asarray(e1)
+    assert len(e1) == bitplane.CHUNK_TILE          # tiled chunk count
+    assert np.all(e1[1:] == 0)                     # pads emit nothing
+    assert int(c1) == int(e1[0]) * bitplane.CHUNK_GROUPS
