@@ -39,10 +39,15 @@ import time
 import numpy as np
 
 BASELINE_GBPS = 10.0
-# Per-size wall-clock budget: first 512^3 compiles take ~1-2 min through the
-# remote-compile tunnel; a wedged compile service can hang indefinitely, so
-# each size gets an alarm and the bench falls back to the next size.
-SIZE_BUDGET_S = int(os.environ.get("MGARD_BENCH_SIZE_BUDGET", "420"))
+# Phase budgets.  Compiles ride the persistent compilation cache committed
+# into the repo (.jax_cache/ — see mgard_tpu/utils/cache.py): a warm run
+# compiles nothing and the whole 512^3 bench lands in ~2-3 minutes.  Cold
+# remote compiles through the tunnel can take MINUTES PER PROGRAM, so the
+# compile phase of each size gets its own generous alarm and the bench
+# falls back to the next size if it blows; the measurement phase (already
+# compiled) gets a short one.
+COMPILE_BUDGET_S = int(os.environ.get("MGARD_BENCH_SIZE_BUDGET", "420"))
+MEASURE_BUDGET_S = int(os.environ.get("MGARD_BENCH_MEASURE_BUDGET", "180"))
 PARITY_BUDGET_S = int(os.environ.get("MGARD_BENCH_PARITY_BUDGET", "300"))
 
 
@@ -159,15 +164,12 @@ def reference_parity(extra):
 def main():
     import jax
 
-    # Persistent compilation cache: the tunneled remote-compile service is
-    # slow and serial; caching compiled executables on disk makes repeat
-    # bench runs (and the driver's run) start in seconds.
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/root/.cache/jax_comp")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # Persistent compilation cache, committed into the repo (.jax_cache/):
+    # the tunneled remote-compile service is slow and serial; cached
+    # executables make the driver's run start warm even in a fresh
+    # environment (round-3's driver bench timed out on exactly this).
+    from mgard_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from mgard_tpu.hierarchy import Hierarchy
@@ -177,7 +179,7 @@ def main():
     result = None
     for edge in (512, 256, 128):
         shape = (edge, edge, edge)
-        signal.alarm(SIZE_BUDGET_S)
+        signal.alarm(COMPILE_BUDGET_S)
         try:
             hier = Hierarchy(shape)
             comp = Compressor(hier, np.float32, s=math.inf)
@@ -185,9 +187,15 @@ def main():
             _sync(v)
             tol = jnp.asarray(1e-3, dtype=jnp.float32)
 
-            t_enc = timed(comp._encode, v, tol)
+            # compile phase (alarm: COMPILE_BUDGET_S)
+            _sync(comp._encode(v, tol))
             e, w, c, _ = comp._encode(v, tol)
             _sync((e, w, c))
+            _sync(comp._decode(e, w, tol))
+
+            # measurement phase — everything below is already compiled
+            signal.alarm(MEASURE_BUDGET_S)
+            t_enc = timed(comp._encode, v, tol)
             t_dec = timed(comp._decode, e, w, tol)
 
             nbytes = float(np.prod(shape)) * 4
