@@ -223,8 +223,20 @@ def _extract_matrices(hier: Hierarchy, l: int):
 
 def _extract_old_all(hier: Hierarchy, A, l: int):
     if _use_matmul(hier, l) and jnp.issubdtype(A.dtype, jnp.floating):
-        return _apply_matrix_chain(A, _extract_matrices(hier, l),
-                                   _level_dims(hier, l))
+        dims = _level_dims(hier, l)
+        mats = _extract_matrices(hier, l)
+        # Dim 0 is the MAJOR dim: its strided parent slice reads
+        # contiguous (n1, n2) planes, which beats the 0/1 selection
+        # matmul (4.4 -> 2.9 ms at 512^3 on v5e) and is bit-exact by
+        # construction.  Lane/sublane dims stay on the MXU where
+        # strided gathers would scalarize.
+        if dims and dims[0] == 0:
+            lev0 = hier.dims[0][l]
+            if lev0.coarse_pos is not None and (
+                    lev0.coarse_is_stride2 or lev0.front_nc is not None):
+                A = extract_old(A, lev0, 0)
+                return _apply_matrix_chain(A, mats[1:], dims[1:])
+        return _apply_matrix_chain(A, mats, dims)
     for d in _level_dims(hier, l):
         A = extract_old(A, hier.dims[d][l], d)
     return A
@@ -338,7 +350,8 @@ def _apply_matrix(K: np.ndarray, B: jax.Array, axis: int) -> jax.Array:
     return jnp.moveaxis(out, 0, axis)
 
 
-def _apply_matrix_chain(B: jax.Array, mats, dims) -> jax.Array:
+def _apply_matrix_chain(B: jax.Array, mats, dims,
+                        precision=None) -> jax.Array:
     """Contract axis ``dims[i]`` of B with ``mats[i]`` ((out, in) each,
     None entries skipped) while avoiding physical transposes.
 
@@ -349,6 +362,7 @@ def _apply_matrix_chain(B: jax.Array, mats, dims) -> jax.Array:
     (a full HBM copy each; 2 of 3 at 512^3) disappears.  A single
     restoring transpose remains only when some dims are skipped.
     """
+    prec = _PRECISION if precision is None else precision
     order = list(range(B.ndim))
     for d, M in zip(dims, mats):
         if M is None:
@@ -358,12 +372,12 @@ def _apply_matrix_chain(B: jax.Array, mats, dims) -> jax.Array:
         if p == 0:
             B = jax.lax.dot_general(
                 Mj, B, dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=_PRECISION, preferred_element_type=B.dtype)
+                precision=prec, preferred_element_type=B.dtype)
             # order unchanged: the contracted dim stays in front
         else:
             B = jax.lax.dot_general(
                 B, Mj, dimension_numbers=(((p,), (1,)), ((), ())),
-                precision=_PRECISION, preferred_element_type=B.dtype)
+                precision=prec, preferred_element_type=B.dtype)
             order = order[:p] + order[p + 1:] + [d]
     ident = list(range(B.ndim))
     if order != ident:
@@ -382,6 +396,27 @@ def _use_matmul(hier: Hierarchy, l: int) -> bool:
 # Gated on the same predicate for encode and decode so both sides run
 # bit-identical arithmetic.
 _GPK = os.environ.get("MGARD_TPU_GPK", "1") == "1"
+# Pallas LPK stencil for the dim-0 mass+restrict half of the correction
+# (ops/lpk_kernels.py).  Benched head-to-head at 512^3 f32 on v5e
+# (round 4): rm0 kernel alone 1.33 ms vs the dim-0 HIGH matmul ~0.55 ms
+# — the dense K chain at HIGH precision (2.48 ms total) beats both the
+# all-HIGHEST chain (4.12 ms) and LPK+matmuls (3.51 ms), so the matmul
+# stays the default and the kernel remains an opt-in.
+_LPK = os.environ.get("MGARD_TPU_LPK", "0") == "1"
+# Correction-chain matmul precision for f32 data.  The correction
+# operator K = M^-1 R M is a smoothing projection applied identically on
+# the encode and decode sides; the HIGH (3-pass bf16) matmul's ~5e-5
+# relative deviation from the f32-exact HIGHEST form is of the same
+# order as the reference's own sequential f32 stencil roundoff
+# (Correction/IPKFunctor.h accumulates in f32) and sits ~3 orders below
+# the quantization error at any practical tolerance, while halving the
+# MXU passes.  Selection/interpolation matmuls (extract/embed/prolong)
+# stay HIGHEST — their bit-exactness keeps detail coefficients exactly
+# zero at parent nodes.  MGARD_TPU_CORR_PRECISION=highest reverts.
+_CORR_PRECISION = {
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[os.environ.get("MGARD_TPU_CORR_PRECISION", "high")]
 
 
 def _use_gpk(hier: Hierarchy, A: jax.Array, l: int) -> bool:
@@ -463,14 +498,30 @@ def _parent_masks(hier: Hierarchy, l: int):
 def _correction(hier: Hierarchy, detail, l: int):
     """M_{l-1}^{-1} R_l M_l applied to a dense level-l detail array.
 
-    Default path: one dense (nc, n) matmul per dim (MXU).  Fallback
-    (``MGARD_TPU_SOLVER=scan`` or very long dims): elementwise mass apply +
-    restriction, then a lax.scan Thomas solve per dim."""
+    Fast path (TPU, 3-D f32, front-interleaved dim 0): the dim-0 mass
+    apply + restriction runs as a Pallas 5-tap stencil over even/odd
+    planes (ops/lpk_kernels.py — the reference's LPK stage), then the
+    dim-0 dense M^-1 and the dim-1/2 combined K matmuls finish on the
+    MXU at the halved size.  Default path: one dense (nc, n) matmul per
+    dim.  Fallback (``MGARD_TPU_SOLVER=scan`` or very long dims):
+    elementwise mass apply + restriction, then lax.scan Thomas solves.
+
+    Gated identically in decompose and recompose so both directions run
+    the same arithmetic."""
     dims = _level_dims(hier, l)
     B = detail
+    prec = _CORR_PRECISION if B.dtype == jnp.float32 else None
     if _SOLVER == "matmul" and all(
             hier.dims[d][l].n <= _MATMUL_MAX_N for d in dims):
-        return _apply_matrix_chain(B, _correction_matrices(hier, l), dims)
+        if _LPK and B.dtype == jnp.float32 and dims == [0, 1, 2]:
+            from . import lpk_kernels as lk
+            if lk.rm0_supported(hier, l):
+                Y = lk.rm_dim0(hier, B, l)
+                return _apply_matrix_chain(
+                    Y, lk.correction_matrices_fast(hier, l), dims,
+                    precision=prec)
+        return _apply_matrix_chain(B, _correction_matrices(hier, l), dims,
+                                   precision=prec)
     for d in dims:
         B = mass_apply(B, hier.dims[d][l].h, d)
         B = restrict(B, hier.dims[d][l], d)
