@@ -21,7 +21,7 @@ sc = ShardedCompressor(mesh, "blocks", block_shape, np.float32)
 rng = np.random.default_rng(0)
 v = rng.normal(size=(nblocks, *block_shape)).astype(np.float32)
 
-e, w, counts, block_tol = sc.encode(v, 1e-2)
+e, w, counts, statuses, block_tol = sc.encode(v, 1e-2)
 sizes = np.asarray(counts)
 print(f"{nblocks} devices, per-block words: {sizes.tolist()}")
 out = np.asarray(sc.decode(e, w, block_tol))

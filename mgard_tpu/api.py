@@ -204,11 +204,37 @@ def _compress_multiblock(arr, tolerance, s, emode, coordinates, cfg,
     else:
         dd_edges = tuple(int(x) for x in edges)
 
+    import jax
+
+    devices = jax.local_devices()
+    ndev = max(1, len(devices))
+
+    def _dev(i):
+        return devices[i % ndev] if ndev > 1 else None
+
     abs_tol = float(tolerance)
     norm = 1.0
     if emode == ErrorMode.REL:
-        norm = (float(np.abs(arr).max()) if _math.isinf(s)
-                else float(np.sqrt(np.sum(arr.astype(np.float64) ** 2))))
+        # Norm over subdomains ON DEVICE (reference computes REL norms
+        # per-subdomain on device too, CompressionHighLevel.hpp:122-136)
+        # — a host-side np.abs(arr).max() on a multi-GB array defeats
+        # the purpose of domain decomposition.  Blocks cycle over the
+        # local devices; partial results combine on host.
+        partials = []
+        for i in range(nblocks):
+            sl = [slice(None)] * arr.ndim
+            sl[dd_dim] = slice(edges[i], edges[i + 1])
+            blk = np.ascontiguousarray(arr[tuple(sl)])
+            bj = jax.device_put(blk, _dev(i))
+            comp_n = get_compressor(blk.shape, arr.dtype, s=s,
+                                    coordinates=_block_coords(
+                                        coordinates, dd_dim,
+                                        edges[i], edges[i + 1]),
+                                    config=cfg)
+            partials.append(comp_n._norm(bj))
+        vals = [float(p) for p in partials]
+        norm = (max(vals) if _math.isinf(s)
+                else float(np.sqrt(np.sum(np.square(vals)))))
         abs_tol *= norm
     block_tol = local_abs_tol(abs_tol, s, nblocks)
 
@@ -230,15 +256,23 @@ def _compress_multiblock(arr, tolerance, s, emode, coordinates, cfg,
         comp_i, handle = pending.popleft()
         sections.extend(comp_i.finalize_sections(handle))
 
+    # MPMD multi-device dispatch: blocks cycle over the local devices
+    # (heterogeneous Variable-edge blocks get per-shape compiled
+    # pipelines — the inhomogeneous counterpart of the SPMD shard_map
+    # path in parallel/sharded.py).  jit executes on its input's
+    # device, so placement alone spreads the work; the pipeline depth
+    # widens to keep every device busy.
+    depth = max(_PIPELINE_DEPTH, ndev + 1)
     for i in range(nblocks):
         sl = [slice(None)] * arr.ndim
         sl[dd_dim] = slice(edges[i], edges[i + 1])
         block = np.ascontiguousarray(arr[tuple(sl)])
+        bj = jax.device_put(block, _dev(i))
         bcoords = _block_coords(coordinates, dd_dim, edges[i], edges[i + 1])
         comp = get_compressor(block.shape, arr.dtype, s=s,
                               coordinates=bcoords, config=bcfg)
-        pending.append((comp, comp.encode_async(block, block_tol)))
-        if len(pending) >= _PIPELINE_DEPTH:
+        pending.append((comp, comp.encode_async(bj, block_tol)))
+        if len(pending) >= depth:
             drain_one()
     while pending:
         drain_one()
@@ -266,11 +300,20 @@ def _decompress_multiblock(header: fmt.Header, sections) -> np.ndarray:
     import dataclasses
     from collections import deque
 
+    import jax
+
     edges = (np.asarray(header.dd_edges, dtype=int)
              if header.dd_edges is not None else
              _block_edges(header.shape[header.dd_dim], header.dd_nblocks))
+    if len(sections) % header.dd_nblocks:
+        raise ValueError(
+            f"multiblock container holds {len(sections)} sections, not a "
+            f"multiple of its {header.dd_nblocks} blocks")
     per_block = len(sections) // header.dd_nblocks
     bcfg = _config_from_header(header)
+    devices = jax.local_devices()
+    ndev = max(1, len(devices))
+    depth = max(_PIPELINE_DEPTH, ndev + 1)
     outs = []
     pending = deque()
     for i in range(header.dd_nblocks):
@@ -283,9 +326,14 @@ def _decompress_multiblock(header: fmt.Header, sections) -> np.ndarray:
         bh = dataclasses.replace(header, shape=tuple(bshape),
                                  coordinates=bcoords, dd_nblocks=0,
                                  section_sizes=())
-        pending.append(comp.decode_async(
-            bh, sections[per_block * i:per_block * (i + 1)]))
-        if len(pending) >= _PIPELINE_DEPTH:
+        if ndev > 1:
+            with jax.default_device(devices[i % ndev]):
+                pending.append(comp.decode_async(
+                    bh, sections[per_block * i:per_block * (i + 1)]))
+        else:
+            pending.append(comp.decode_async(
+                bh, sections[per_block * i:per_block * (i + 1)]))
+        if len(pending) >= depth:
             outs.append(np.asarray(pending.popleft()))
     while pending:
         outs.append(np.asarray(pending.popleft()))

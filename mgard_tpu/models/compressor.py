@@ -283,8 +283,27 @@ class Compressor:
         exponents, words, count = enc(flat)
         return exponents, words, count, overflow
 
+    def device_encode_fn(self):
+        """The pure (unjitted) device encode pipeline ``(v, tol) ->
+        (exponents, words, count, status)`` for composition under
+        shard_map/vmap (parallel/sharded.py)."""
+        grouped = self.lossless in (Lossless.BITPLANE_GROUP,
+                                    Lossless.BITPLANE_GROUP_ZSTD)
+        return functools.partial(self._encode_impl, grouped=grouped)
+
+    def device_decode_fn(self):
+        """The pure (unjitted) device decode pipeline ``(exponents,
+        words, tol) -> array``."""
+        grouped = self.lossless in (Lossless.BITPLANE_GROUP,
+                                    Lossless.BITPLANE_GROUP_ZSTD)
+        return self._decode_impl_fn(grouped, self._segmented)
+
     @functools.lru_cache(maxsize=4)
     def _decode_fn(self, grouped: bool, segmented: bool = False):
+        return jax.jit(self._decode_impl_fn(grouped, segmented))
+
+    @functools.lru_cache(maxsize=4)
+    def _decode_impl_fn(self, grouped: bool, segmented: bool = False):
         hier = self.hier
 
         def impl(exponents: jax.Array, words: jax.Array, tol: jax.Array):
@@ -309,7 +328,7 @@ class Compressor:
                    else bitplane.decode)
             flat = dec(exponents, words, self._nstream)
             return self._flat_to_array(flat, tol)
-        return jax.jit(impl)
+        return impl
 
     def _norm_impl(self, v: jax.Array):
         """Norm used for REL -> ABS conversion (reference NormCalculator,
@@ -350,7 +369,14 @@ class Compressor:
             flat_np = np.asarray(flat)
             _raise_status(int(overflow))
             return [self._host_lossless_encode(flat_np)]
-        exponents, words, count, overflow = out
+        return self.sections_from_outputs(*out)
+
+    def sections_from_outputs(self, exponents, words, count,
+                              overflow) -> List[bytes]:
+        """Build container sections from the device encode outputs.
+
+        Shared by the single-device path and the sharded/multi-chip path
+        (parallel/sharded.py) so every producer emits identical bytes."""
         count = int(count)
         _raise_status(int(overflow))
         from ..utils import debug

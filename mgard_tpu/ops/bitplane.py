@@ -381,13 +381,18 @@ def encode_segments(segs, inv_q):
     cap_rows = total_chunks * (GROUP + 1)
 
     if _use_pallas():
-        from .pallas_kernels import (bp_condense_into, bp_encode_condense,
-                                     bp_quant_zigzag)
-        zcs, zmaxs, flags = [], [], []
+        from .pallas_kernels import bp_quant_condense, bp_quant_max
+        # Pass 1: per-chunk zigzag maxima + statuses only (floats read
+        # once, scalars out).  Pass 2: fused quantize+zigzag+transpose+
+        # condense per segment into one shared stream buffer — the
+        # intermediate (n, 32, W) uint32 zigzag array of the old
+        # two-kernel split (2x the input size of extra HBM traffic)
+        # never exists.
+        xchs, zmaxs, flags = [], [], []
         for seg, nc in zip(segs, ncs):
-            zc, zm, fl = bp_quant_zigzag(_seg_chunked(seg, nc, seg.dtype),
-                                         inv_q)
-            zcs.append(zc)
+            xch = _seg_chunked(seg, nc, seg.dtype)
+            zm, fl = bp_quant_max(xch, inv_q)
+            xchs.append(xch)
             zmaxs.append(zm)
             flags.append(fl)
         e = _bit_length32(jnp.concatenate(zmaxs))
@@ -395,18 +400,12 @@ def encode_segments(segs, inv_q):
         offsets = (ends - e).astype(jnp.int32)
         total_rows = ends[-1].astype(jnp.int32)
         buf = None
-        for k, zc in enumerate(zcs):
+        for k, xch in enumerate(xchs):
             a, b = int(bounds[k]), int(bounds[k + 1])
             off_k = jax.lax.slice_in_dim(offsets, a, b)
             seg_end = (offsets[b] if b < total_chunks else total_rows)
-            if buf is None:
-                nexts = jnp.concatenate(
-                    [off_k[CHUNK_TILE::CHUNK_TILE], seg_end.reshape(1)])
-                tile_rows = (nexts - off_k[::CHUNK_TILE]).astype(jnp.int32)
-                buf = bp_encode_condense(zc, off_k, tile_rows, cap_rows)
-                buf = buf.reshape(-1, 16, 128)
-            else:
-                buf = bp_condense_into(zc, off_k, seg_end, buf)
+            buf = bp_quant_condense(xch, inv_q, off_k, seg_end, buf=buf,
+                                    cap_rows=cap_rows)
         status = jnp.max(jnp.concatenate(flags))
         return (e.astype(jnp.uint8), buf.reshape(-1),
                 (total_rows * C).astype(jnp.int32), status)

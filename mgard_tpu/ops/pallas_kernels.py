@@ -329,6 +329,152 @@ def _bp_condense_into_kernel(meta_ref, q_ref, _buf_ref, out_ref,
     _enc_dma_loop(meta_ref, planes_ref, out_ref, sems, 'wait')
 
 
+# ---------------------------------------------------------------------------
+# Fully-fused encode: quantize + zigzag + transpose + condense in ONE
+# kernel.  The two-kernel split (bp_quant_zigzag materializing the
+# (n, 32, BP_W) uint32 zigzag chunks, then bp_encode_condense re-reading
+# them) moves an extra 2x the input size through HBM; here the float
+# coefficients are read once and only the stream rows leave the chip.
+# The per-chunk exponents still need a global cumsum before offsets are
+# known, so a cheap max-only pass (bp_quant_max) runs first — it reads
+# the floats once and writes per-chunk scalars.
+# ---------------------------------------------------------------------------
+
+def _quant_zigzag_block(x, invq):
+    """(CB, 32, 16, 128) f32 -> uint32 zigzag, matching _bp_quant_kernel
+    bit-for-bit (scale, round half away from zero, zigzag)."""
+    xs = x * invq
+    a = jnp.abs(xs) + 0.5
+    t = jnp.trunc(a)
+    q = jnp.where(xs < 0, -t, t).astype(jnp.int32)
+    return (jax.lax.shift_left(q, np.int32(1))
+            ^ jax.lax.shift_right_arithmetic(q, np.int32(31))
+            ).astype(jnp.uint32)
+
+
+def _bp_quant_condense_kernel(invq_ref, meta_ref, x_ref, out_ref,
+                              planes_ref, sems):
+    z = _quant_zigzag_block(x_ref[:], invq_ref[0, 0])
+    rows = _butterfly_rows([z[:, i] for i in range(32)])
+    planes_ref[:] = jnp.stack(rows, axis=1)
+    _enc_dma_loop(meta_ref, planes_ref, out_ref, sems, 'start')
+    _enc_dma_loop(meta_ref, planes_ref, out_ref, sems, 'wait')
+
+
+def _bp_quant_condense_into_kernel(invq_ref, meta_ref, x_ref, _buf_ref,
+                                   out_ref, planes_ref, sems):
+    z = _quant_zigzag_block(x_ref[:], invq_ref[0, 0])
+    rows = _butterfly_rows([z[:, i] for i in range(32)])
+    planes_ref[:] = jnp.stack(rows, axis=1)
+    _enc_dma_loop(meta_ref, planes_ref, out_ref, sems, 'start')
+    _enc_dma_loop(meta_ref, planes_ref, out_ref, sems, 'wait')
+
+
+def bp_quant_condense(xc: jax.Array, inv_q, offsets: jax.Array,
+                      total_rows: jax.Array, buf=None,
+                      cap_rows: int = 0) -> jax.Array:
+    """Fused quantize+zigzag+transpose+condense of one float32 segment.
+
+    ``xc``: (nchunks, 32, BP_W) float32 (nchunks % BP_CB == 0);
+    ``offsets``: (nchunks,) int32 GLOBAL stream plane-row offsets;
+    ``total_rows``: scalar int32 — one past this segment's last row.
+    With ``buf`` None allocates a fresh (cap_rows, 16, 128) stream
+    buffer (first segment); otherwise writes into ``buf`` via aliasing.
+    """
+    nc = xc.shape[0]
+    assert nc % BP_CB == 0
+    ntiles = nc // BP_CB
+    x4 = xc.reshape(nc, 32, 16, 128)
+    meta = _pack_meta(offsets, ntiles, total_rows)
+    invq = jnp.asarray(inv_q, jnp.float32).reshape(1, 1)
+    scratch = [
+        pltpu.VMEM((BP_CB, 32, 16, 128), jnp.uint32),
+        pltpu.SemaphoreType.DMA((BP_CB,)),
+    ]
+    smem1 = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    meta_spec = pl.BlockSpec((_META_ROWS, 128),
+                             lambda i: (i // _META_ROWS, 0),
+                             memory_space=pltpu.SMEM)
+    x_spec = pl.BlockSpec((BP_CB, 32, 16, 128), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    if buf is None:
+        return pl.pallas_call(
+            _bp_quant_condense_kernel,
+            grid=(ntiles,),
+            in_specs=[smem1, meta_spec, x_spec],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_shape=jax.ShapeDtypeStruct((cap_rows, 16, 128), jnp.uint32),
+            scratch_shapes=scratch,
+        )(invq, meta, x4)
+    return pl.pallas_call(
+        _bp_quant_condense_into_kernel,
+        grid=(ntiles,),
+        in_specs=[smem1, meta_spec, x_spec,
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct(buf.shape, jnp.uint32),
+        scratch_shapes=scratch,
+        input_output_aliases={3: 0},
+    )(invq, meta, x4, buf)
+
+
+def _bp_quant_max_kernel(invq_ref, x_ref, zmax_ref, flag_ref):
+    """Max-only half of the fused encode: per-chunk zigzag max + status,
+    identical arithmetic to _quant_zigzag_block."""
+    raw = x_ref[:]
+    bad = jnp.logical_not(jnp.isfinite(raw))
+    x = raw * invq_ref[0, 0]
+    a = jnp.abs(x) + 0.5
+    over = a >= np.float32(2.0 ** 31)
+    z = _quant_zigzag_block(raw, invq_ref[0, 0])
+    zs = pltpu.bitcast(z ^ np.uint32(0x80000000), jnp.int32)
+    zl = jnp.max(zs, axis=(1, 2))
+    zm = jnp.max(zl, axis=-1, keepdims=True)
+    zmu = pltpu.bitcast(zm, jnp.uint32) ^ np.uint32(0x80000000)
+    pad = jnp.zeros((8 - BP_CB, 128), jnp.uint32)
+    zmax_ref[:] = jnp.concatenate(
+        [jnp.broadcast_to(zmu, (BP_CB, 128)), pad], axis=0)[None]
+    code = jnp.maximum(
+        2 * jnp.max(jnp.max(bad.astype(jnp.int32), axis=(1, 2)),
+                    axis=-1, keepdims=True),
+        jnp.max(jnp.max(over.astype(jnp.int32), axis=(1, 2)),
+                axis=-1, keepdims=True))
+    flag_ref[:] = jnp.concatenate(
+        [jnp.broadcast_to(code, (BP_CB, 128)),
+         pad.astype(jnp.int32)], axis=0)[None]
+
+
+def bp_quant_max(xc: jax.Array, inv_q) -> tuple:
+    """(nchunks, 32, BP_W) float32 -> (per-chunk zigzag max uint32
+    (nchunks,), per-chunk status int32 (nchunks,)) without materializing
+    the zigzag chunks."""
+    nc = xc.shape[0]
+    assert nc % BP_CB == 0
+    x4 = xc.reshape(nc, 32, 16, 128)
+    invq = jnp.asarray(inv_q, jnp.float32).reshape(1, 1)
+    zmax, flag = pl.pallas_call(
+        _bp_quant_max_kernel,
+        grid=(nc // BP_CB,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((BP_CB, 32, 16, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nc // BP_CB, 8, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((nc // BP_CB, 8, 128), jnp.int32),
+        ),
+    )(invq, x4)
+    return zmax[:, :BP_CB, 0].reshape(nc), flag[:, :BP_CB, 0].reshape(nc)
+
+
 def bp_condense_into(zc: jax.Array, offsets: jax.Array,
                      total_rows: jax.Array, buf: jax.Array) -> jax.Array:
     """Condense one segment's chunks into a SHARED stream buffer.

@@ -42,3 +42,37 @@ def test_pallas_condense_matches_xla(n, monkeypatch):
     assert np.array_equal(np.asarray(w1)[:int(c1)],
                           np.asarray(w2)[:int(c2)])
     assert np.array_equal(np.asarray(out2), q)
+
+
+def test_pallas_segments_fused_matches_xla(monkeypatch):
+    """Fused quantize+condense (bp_quant_max + bp_quant_condense) vs the
+    XLA fallback of encode_segments: identical exponents, words, status;
+    decode_segments roundtrips."""
+    rng = np.random.default_rng(1)
+    sizes = [17 * 17 * 17, 33 * 33 * 33, 130000]
+    segs = [jnp.asarray((rng.normal(size=s)
+                         * rng.choice([0.0, 1.0, 40.0, 3e3], size=s)
+                         ).astype(np.float32)) for s in sizes]
+    inv_q = 128.0
+
+    monkeypatch.setenv("MGARD_TPU_PALLAS_CODEC", "0")
+    e1, w1, c1, st1 = bitplane.encode_segments(segs, inv_q)
+
+    monkeypatch.setenv("MGARD_TPU_PALLAS_CODEC", "1")
+    with pltpu.force_tpu_interpret_mode():
+        e2, w2, c2, st2 = bitplane.encode_segments(segs, inv_q)
+        cap = bitplane.max_words_segments(sizes)
+        wfull = jnp.zeros(cap, dtype=jnp.uint32).at[:int(c2)].set(
+            w2[:int(c2)])
+        outs = bitplane.decode_segments(e2, wfull, sizes,
+                                        quantum=1.0 / inv_q)
+
+    assert int(c1) == int(c2)
+    assert int(st1) == int(st2) == 0
+    assert np.array_equal(np.asarray(e1), np.asarray(e2))
+    assert np.array_equal(np.asarray(w1)[:int(c1)],
+                          np.asarray(w2)[:int(c2)])
+    for seg, out in zip(segs, outs):
+        q = np.trunc(np.abs(np.asarray(seg)) * inv_q + 0.5)
+        q = np.where(np.asarray(seg) < 0, -q, q)
+        assert np.abs(np.asarray(out) - q / inv_q).max() < 1e-9

@@ -38,7 +38,7 @@ def test_sharded_roundtrip_8_devices():
     sc = ShardedCompressor(mesh, "blocks", block_shape, np.float32)
     rng = np.random.default_rng(30)
     v = rng.normal(size=(8, *block_shape)).astype(np.float32)
-    e, w, c, block_tol = sc.encode(v, 1e-2)
+    e, w, c, st, block_tol = sc.encode(v, 1e-2)
     out = np.asarray(sc.decode(e, w, block_tol))
     assert np.abs(out - v).max() <= 1e-2
 
