@@ -108,6 +108,13 @@ def compress(data, tolerance: float, s: float = math.inf,
         if new_shape != arr.shape:
             orig_shape = arr.shape
             arr = arr.reshape(new_shape)
+    if cfg.dd_method == "block":
+        grid = tuple(1 if s_ == 1 else max(1, -(-s_ // cfg.block_edge))
+                     for s_ in arr.shape)
+        if int(np.prod(grid)) > 1:
+            buf = _compress_blocknd(arr, tolerance, s, emode, coordinates,
+                                    cfg, grid)
+            return _finish_adjust(buf, orig_shape)
     if cfg.dd_sizes is not None:
         sizes = [int(x) for x in cfg.dd_sizes]
         if sum(sizes) != arr.shape[cfg.dd_dim]:
@@ -294,6 +301,148 @@ def _compress_multiblock(arr, tolerance, s, emode, coordinates, cfg,
     return fmt.write_container(header, sections)
 
 
+def _blocknd_coords(coordinates, origin, bshape):
+    if coordinates is None:
+        return None
+    return [np.asarray(c)[o:o + n]
+            for c, o, n in zip(coordinates, origin, bshape)]
+
+
+def _compress_blocknd(arr, tolerance, s, emode, coordinates, cfg, grid):
+    """Block (N-D) domain decomposition (reference
+    domain_decomposition_type::Block, DomainDecomposer.hpp:91-170):
+    uniform N-D blocks in raster order, per-block hierarchies, the
+    s-norm error budget split across ALL blocks
+    (ErrorToleranceCalculator.hpp:135-154), blocks cycled over local
+    devices with the same pipelined dispatch as the slab path."""
+    import math as _math
+    from collections import deque
+
+    import jax
+
+    from .parallel.domain import block_grid_blocks, local_abs_tol
+
+    blocks = block_grid_blocks(arr.shape, grid)
+    nblocks = len(blocks)
+    devices = jax.local_devices()
+    ndev = max(1, len(devices))
+
+    def _dev(i):
+        return devices[i % ndev] if ndev > 1 else None
+
+    def _slices(origin, bshape):
+        return tuple(slice(o, o + n) for o, n in zip(origin, bshape))
+
+    abs_tol = float(tolerance)
+    norm = 1.0
+    if emode == ErrorMode.REL:
+        partials = []
+        for i, (origin, bshape) in enumerate(blocks):
+            blk = np.ascontiguousarray(arr[_slices(origin, bshape)])
+            comp_n = get_compressor(
+                bshape, arr.dtype, s=s,
+                coordinates=_blocknd_coords(coordinates, origin, bshape),
+                config=cfg)
+            partials.append(comp_n._norm(jax.device_put(blk, _dev(i))))
+        vals = [float(p) for p in partials]
+        norm = (max(vals) if _math.isinf(s)
+                else float(np.sqrt(np.sum(np.square(vals)))))
+        abs_tol *= norm
+    block_tol = local_abs_tol(abs_tol, s, nblocks)
+
+    origin0, bshape0 = blocks[0]
+    probe = get_compressor(
+        bshape0, arr.dtype, s=s,
+        coordinates=_blocknd_coords(coordinates, origin0, bshape0),
+        config=cfg)
+    bcfg = cfg.replace(lossless=probe.lossless, adapt_lossless=False)
+    lossless = int(probe.lossless)
+
+    sections = []
+    pending = deque()
+
+    def drain_one():
+        comp_i, handle = pending.popleft()
+        sections.extend(comp_i.finalize_sections(handle))
+
+    depth = max(_PIPELINE_DEPTH, ndev + 1)
+    for i, (origin, bshape) in enumerate(blocks):
+        blk = np.ascontiguousarray(arr[_slices(origin, bshape)])
+        comp = get_compressor(
+            bshape, arr.dtype, s=s,
+            coordinates=_blocknd_coords(coordinates, origin, bshape),
+            config=bcfg)
+        pending.append((comp, comp.encode_async(
+            jax.device_put(blk, _dev(i)), block_tol)))
+        if len(pending) >= depth:
+            drain_one()
+    while pending:
+        drain_one()
+
+    from .config import Decomposition
+    dec_wire = (1 + max(1, int(cfg.num_local_levels))
+                if cfg.decomposition == Decomposition.HYBRID
+                else int(cfg.decomposition))
+    header = fmt.Header(
+        dtype=arr.dtype, shape=arr.shape,
+        uniform=coordinates is None,
+        coordinates=None if coordinates is None else [
+            np.asarray(c) for c in coordinates],
+        error_mode=int(emode), s=float(s), tolerance=block_tol,
+        norm=norm, lossless=lossless, n_levels=0,
+        section_sizes=(), dd_nblocks=nblocks, dd_grid=tuple(grid),
+        decomposition=dec_wire, layout=int(cfg.layout))
+    return fmt.write_container(header, sections)
+
+
+def _decompress_blocknd(header: fmt.Header, sections) -> np.ndarray:
+    """Mirror of :func:`_compress_blocknd`."""
+    import dataclasses
+    from collections import deque
+
+    import jax
+
+    from .parallel.domain import block_grid_blocks
+
+    blocks = block_grid_blocks(header.shape, header.dd_grid)
+    if len(sections) % len(blocks):
+        raise ValueError(
+            f"block container holds {len(sections)} sections, not a "
+            f"multiple of its {len(blocks)} blocks")
+    per_block = len(sections) // len(blocks)
+    bcfg = _config_from_header(header)
+    devices = jax.local_devices()
+    ndev = max(1, len(devices))
+    depth = max(_PIPELINE_DEPTH, ndev + 1)
+    out = np.empty(header.shape, dtype=header.dtype)
+    pending = deque()
+
+    def drain_one():
+        origin, bshape, h = pending.popleft()
+        sl = tuple(slice(o, o + n) for o, n in zip(origin, bshape))
+        out[sl] = np.asarray(h)
+
+    for i, (origin, bshape) in enumerate(blocks):
+        bcoords = _blocknd_coords(header.coordinates, origin, bshape)
+        comp = get_compressor(bshape, header.dtype, s=header.s,
+                              coordinates=bcoords, config=bcfg)
+        bh = dataclasses.replace(header, shape=bshape, coordinates=bcoords,
+                                 dd_nblocks=0, dd_grid=None,
+                                 section_sizes=())
+        secs = sections[per_block * i:per_block * (i + 1)]
+        if ndev > 1:
+            with jax.default_device(devices[i % ndev]):
+                pending.append((origin, bshape,
+                                comp.decode_async(bh, secs)))
+        else:
+            pending.append((origin, bshape, comp.decode_async(bh, secs)))
+        if len(pending) >= depth:
+            drain_one()
+    while pending:
+        drain_one()
+    return out
+
+
 def _decompress_multiblock(header: fmt.Header, sections) -> np.ndarray:
     """Pipelined mirror of :func:`_compress_multiblock`: block i+1's
     device decode is dispatched before block i's host readback."""
@@ -353,7 +502,9 @@ def decompress(buf: bytes) -> np.ndarray:
         from .io import mgard_compat
         return mgard_compat.decompress_mgard(buf)
     header, sections = fmt.read_container(buf)
-    if header.dd_nblocks:
+    if header.dd_grid is not None:
+        out = _decompress_blocknd(header, sections)
+    elif header.dd_nblocks:
         out = _decompress_multiblock(header, sections)
     elif header.roi_block:
         from .models.roi import decompress_roi

@@ -78,6 +78,22 @@ def _build_parser():
 def main(argv=None):
     args = _build_parser().parse_args(argv)
 
+    # The f64 pipeline quantizes to int64 on device (64-bitplane codec);
+    # x64 must be on before any tracing happens.  For decompress the
+    # dtype comes from the container header (host-side parse, no jax).
+    needs_x64 = getattr(args, "dtype", None) == "float64"
+    if args.command == "decompress":
+        from mgard_tpu.io import format as _fmt
+        try:
+            with open(args.input, "rb") as f:
+                hdr, _ = _fmt.read_container(f.read())
+            needs_x64 = needs_x64 or hdr.dtype == np.dtype(np.float64)
+        except Exception:
+            pass
+    if needs_x64:
+        import jax
+        jax.config.update("jax_enable_x64", True)
+
     if args.command == "compress":
         import mgard_tpu
         from mgard_tpu.config import Config, Lossless

@@ -80,6 +80,11 @@ class Config:
     # chosen by plan_blocks.
     dd_sizes: object = None
     dd_dim: int = 0
+    # Domain-decomposition method (reference
+    # domain_decomposition_type, Types.h:50): "maxdim" splits the
+    # largest dim into slabs; "block" splits every dim into uniform N-D
+    # blocks of edge <= block_edge (engages when that yields > 1 block).
+    dd_method: str = "maxdim"
     # Threshold (bytes of input) above which compress() splits the domain
     # into blocks (reference DomainDecomposer triggers on the device-memory
     # footprint estimate, DomainDecomposer.hpp:72-89).

@@ -75,6 +75,12 @@ class Header:
     # config.domain_decomposition_sizes); None = uniform np.linspace
     # slabs.
     dd_edges: Optional[Tuple[int, ...]] = None
+    # Block (N-D) domain decomposition (reference
+    # domain_decomposition_type::Block, DomainDecomposer.hpp:91-170):
+    # per-dim block counts; blocks iterate in raster order, each dim
+    # split at np.linspace(0, n, g+1).astype(int) edges.  None = not a
+    # Block decomposition (dd_dim/dd_nblocks slab form applies).
+    dd_grid: Optional[Tuple[int, ...]] = None
 
     def pack(self) -> bytes:
         out = bytearray()
@@ -100,7 +106,8 @@ class Header:
         crcs = self.section_crcs or (0,) * len(self.section_sizes)
         out += struct.pack(f"<{len(crcs)}I", *crcs)
         flags = ((1 if self.orig_shape is not None else 0)
-                 | (2 if self.dd_edges is not None else 0))
+                 | (2 if self.dd_edges is not None else 0)
+                 | (4 if self.dd_grid is not None else 0))
         out += struct.pack("<B", flags)
         if self.orig_shape is not None:
             out += struct.pack("<B", len(self.orig_shape))
@@ -109,6 +116,9 @@ class Header:
         if self.dd_edges is not None:
             out += struct.pack("<I", len(self.dd_edges))
             out += struct.pack(f"<{len(self.dd_edges)}Q", *self.dd_edges)
+        if self.dd_grid is not None:
+            out += struct.pack("<B", len(self.dd_grid))
+            out += struct.pack(f"<{len(self.dd_grid)}I", *self.dd_grid)
         return bytes(out)
 
     @classmethod
@@ -142,6 +152,7 @@ class Header:
         section_crcs = take(f"<{nsec}I")
         orig_shape = None
         dd_edges = None
+        dd_grid = None
         if off < len(buf):
             (flags,) = take("<B")
             if flags & 1:
@@ -150,7 +161,11 @@ class Header:
             if flags & 2:
                 (ne,) = take("<I")
                 dd_edges = tuple(take(f"<{ne}Q"))
+            if flags & 4:
+                (gd,) = take("<B")
+                dd_grid = tuple(take(f"<{gd}I"))
         return cls(orig_shape=orig_shape, dd_edges=dd_edges,
+                   dd_grid=dd_grid,
                    dtype=np.dtype(_DTYPES[dtype_code]), shape=tuple(shape),
                    uniform=bool(uniform), coordinates=coordinates,
                    error_mode=error_mode, s=s, tolerance=tolerance,

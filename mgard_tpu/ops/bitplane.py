@@ -201,6 +201,89 @@ def _from_rows(sign: jax.Array, planes: jax.Array, n: int) -> jax.Array:
 # Chunked codec (default): per-chunk exponents, 128-word aligned rows
 # ---------------------------------------------------------------------------
 
+def max_words64(n: int) -> int:
+    """Word-buffer capacity for the wide (64-bit) codec."""
+    return num_chunks_tiled(n) * CHUNK_GROUPS * (2 * GROUP + 1)
+
+
+def _bit_length64(x: jax.Array) -> jax.Array:
+    """Integer bit length of uint64 values (0 -> 0), exact."""
+    e = jnp.zeros(x.shape, dtype=jnp.int32)
+    v = x
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = v >= (np.uint64(1) << np.uint64(shift))
+        e = e + jnp.where(big, shift, 0).astype(jnp.int32)
+        v = jnp.where(big, v >> np.uint64(shift), v)
+    return jnp.where(x == 0, 0, e + 1)
+
+
+def encode64(q: jax.Array):
+    """Wide-dynamic-range chunked codec: int64 values, up to 64 bitplanes
+    per chunk (the graceful path past the int32 ceiling — reference CPU
+    quantizes to int64, include/quantize.tpp + src/mgard.proto:96-113;
+    MGARD-X survives large magnitudes via its outlier channel,
+    LinearQuantization.hpp:213-240).
+
+    Same stream geometry as :func:`encode` (chunk c owns rows
+    [offsets[c], offsets[c] + e_c), LSB-first), but ``e_c`` may reach
+    64: planes 0..31 come from the low uint32 digit's butterfly, planes
+    32..63 from the high digit's.  Requires jax_enable_x64.
+
+    Returns ``(chunk_exponents uint8, words uint32 (cap,), count)``.
+    """
+    n = q.shape[0]
+    C = CHUNK_GROUPS
+    vals_per_chunk = GROUP * C
+    nchunks = num_chunks_tiled(n)
+    pad = nchunks * vals_per_chunk - n
+    if pad:
+        q = jnp.concatenate([q, jnp.zeros(pad, dtype=q.dtype)])
+    z = ((q << jnp.int64(1)) ^ (q >> jnp.int64(63))).astype(jnp.uint64)
+    zc = z.reshape(nchunks, GROUP, C)
+    zlo = (zc & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    zhi = (zc >> jnp.uint64(32)).astype(jnp.uint32)
+    e = _bit_length64(jnp.max(zc, axis=(1, 2)))
+    ends = jnp.cumsum(e)
+    offsets = (ends - e).astype(jnp.int32)
+    cap_rows = nchunks * (2 * GROUP + 1)
+
+    planes = jnp.concatenate(
+        [transpose32_mid(zlo), transpose32_mid(zhi)], axis=1)  # (nc, 64, C)
+    marks = jnp.zeros(cap_rows + 1, dtype=jnp.int32).at[offsets].add(
+        1, indices_are_sorted=True)
+    cid = jnp.clip(jnp.cumsum(marks[:-1]) - 1, 0, nchunks - 1)
+    j = jnp.arange(cap_rows, dtype=jnp.int32)
+    plane_idx = jnp.clip(j - offsets[cid], 0, 2 * GROUP - 1)
+    rows = jnp.take(planes.reshape(nchunks * 2 * GROUP, C),
+                    cid * 2 * GROUP + plane_idx, axis=0)
+    return (e.astype(jnp.uint8), rows.reshape(-1),
+            (ends[-1] * C).astype(jnp.int32))
+
+
+def decode64(exponents: jax.Array, words: jax.Array, n: int) -> jax.Array:
+    """Inverse of :func:`encode64`; returns int64 of length ``n``."""
+    nchunks = exponents.shape[0]
+    C = CHUNK_GROUPS
+    e = exponents.astype(jnp.int32)
+    ends = jnp.cumsum(e)
+    offsets = (ends - e).astype(jnp.int32)
+    rows = words.reshape(-1, C)
+    cap_rows = rows.shape[0]
+
+    b = jnp.arange(2 * GROUP, dtype=jnp.int32)[None, :]
+    idx = offsets[:, None] + b
+    valid = b < e[:, None]
+    idx_c = jnp.clip(idx, 0, cap_rows - 1)
+    planes = jnp.where(valid[:, :, None],
+                       jnp.take(rows, idx_c, axis=0), np.uint32(0))
+    zlo = transpose32_mid(planes[:, :GROUP])
+    zhi = transpose32_mid(planes[:, GROUP:])
+    z = zlo.astype(jnp.uint64) | (zhi.astype(jnp.uint64) << jnp.uint64(32))
+    zi = z.astype(jnp.int64)
+    out = jax.lax.shift_right_logical(zi, jnp.int64(1)) ^ -(zi & jnp.int64(1))
+    return out.reshape(-1)[:n]
+
+
 def _zigzag(q: jax.Array) -> jax.Array:
     """int32 -> uint32 zigzag: 0,-1,1,-2,2,... -> 0,1,2,3,4,... — folds the
     sign into the LSB so a chunk's stream is a pure prefix of its

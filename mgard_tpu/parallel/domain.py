@@ -18,13 +18,34 @@ from typing import List, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["DomainDecomposer", "local_abs_tol"]
+__all__ = ["DomainDecomposer", "local_abs_tol", "block_grid_blocks"]
 
 
 def local_abs_tol(tol: float, s: float, num_blocks: int) -> float:
     if math.isinf(s):
         return tol
     return math.sqrt(tol * tol / num_blocks)
+
+
+def block_grid_blocks(shape: Sequence[int], grid: Sequence[int]):
+    """Deterministic raster-order (origin, block_shape) list for a Block
+    (N-D) decomposition: dim d splits at
+    ``np.linspace(0, shape[d], grid[d]+1).astype(int)`` — the same rule
+    on the compress and decompress sides, so only the per-dim counts
+    travel in the container header (``Header.dd_grid``)."""
+    import itertools
+
+    shape = tuple(int(x) for x in shape)
+    grid = tuple(int(g) for g in grid)
+    edges = [np.linspace(0, s, g + 1).astype(int)
+             for s, g in zip(shape, grid)]
+    out = []
+    for idx in itertools.product(*[range(g) for g in grid]):
+        origin = tuple(int(edges[d][i]) for d, i in enumerate(idx))
+        bshape = tuple(int(edges[d][i + 1] - edges[d][i])
+                       for d, i in enumerate(idx))
+        out.append((origin, bshape))
+    return out
 
 
 class DomainDecomposer:
@@ -46,12 +67,10 @@ class DomainDecomposer:
             self.blocks.append((tuple([0] * len(self.shape)), self.shape))
             return
         if method == "block":
-            grids = [range(0, s, block_edge) for s in self.shape]
-            import itertools
-            for origin in itertools.product(*grids):
-                bshape = tuple(
-                    min(block_edge, s - o)
-                    for o, s in zip(origin, self.shape))
+            self.grid = tuple(
+                1 if s == 1 else max(1, -(-s // block_edge))
+                for s in self.shape)
+            for origin, bshape in block_grid_blocks(self.shape, self.grid):
                 self.blocks.append((origin, bshape))
             return
         # max_dim: split the largest dim into the fewest equal-ish chunks

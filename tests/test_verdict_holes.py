@@ -49,9 +49,15 @@ def test_host_lossless_roundtrip(lossless):
 
 
 def test_overflow_status_raises():
-    v = smooth_field((33, 33), seed=9).astype(np.float64)
+    # f64 rides the 64-bitplane codec (ceiling 2^62) since round 4, so
+    # 1e-12 on unit data now succeeds; both widths must still raise when
+    # the tolerance is tight enough to exceed their integer ceilings.
+    v32 = smooth_field((33, 33), seed=9).astype(np.float32)
     with pytest.raises(OverflowError):
-        mgard_tpu.compress(v, 1e-12)
+        mgard_tpu.compress(v32, 1e-9)
+    v64 = smooth_field((33, 33), seed=9).astype(np.float64)
+    with pytest.raises(OverflowError):
+        mgard_tpu.compress(v64, 1e-21)
 
 
 def test_nonfinite_status_raises():
