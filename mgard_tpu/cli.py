@@ -35,6 +35,10 @@ def _build_parser():
     c.add_argument("--mode", "-m", choices=["abs", "rel"], default="abs")
     c.add_argument("--lossless", "-l",
                    choices=["bitplane", "bitplane-zstd"], default="bitplane")
+    c.add_argument("--format", choices=["native", "mgard", "mgard-x"],
+                   default="native",
+                   help="container format: native .mgardtpu (default), "
+                        "reference CPU `mgard`, or `mgard-x` serial")
 
     d = sub.add_parser("decompress", help="decompress a .mgardtpu container")
     d.add_argument("--input", "-i", required=True)
@@ -104,11 +108,26 @@ def main(argv=None):
             sys.exit(f"error: file has {data.size} elements, "
                      f"shape needs {n_expected}")
         data = data.reshape(args.shape)
-        lossless = (Lossless.BITPLANE_ZSTD if args.lossless == "bitplane-zstd"
-                    else Lossless.BITPLANE)
-        buf = mgard_tpu.compress(data, args.tolerance, s=args.smoothness,
-                                 mode=args.mode,
-                                 config=Config(lossless=lossless))
+        if args.format in ("mgard", "mgard-x"):
+            # interop writers take an absolute tolerance
+            tol = args.tolerance
+            if args.mode == "rel":
+                tol = tol * float(np.abs(data).max())
+            from mgard_tpu.io import mgard_compat
+            if args.format == "mgard":
+                buf = mgard_compat.compress_mgard(data, tol,
+                                                  s=args.smoothness)
+            else:
+                if not math.isinf(args.smoothness):
+                    sys.exit("error: mgard-x format supports L-inf only")
+                buf = mgard_compat.compress_mgard_x(data, tol)
+        else:
+            lossless = (Lossless.BITPLANE_ZSTD
+                        if args.lossless == "bitplane-zstd"
+                        else Lossless.BITPLANE)
+            buf = mgard_tpu.compress(data, args.tolerance,
+                                     s=args.smoothness, mode=args.mode,
+                                     config=Config(lossless=lossless))
         with open(args.output, "wb") as f:
             f.write(buf)
         print(f"{data.nbytes} -> {len(buf)} bytes "

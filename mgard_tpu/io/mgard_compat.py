@@ -122,12 +122,20 @@ def read_container(buf: bytes) -> Tuple[Dict, bytes]:
     raise ValueError("MGARD header CRC mismatch")
 
 
-def write_container(header: Dict, payload: bytes) -> bytes:
+def write_container(header: Dict, payload: bytes,
+                    little_endian: bool = False) -> bytes:
+    """Serialize MAGIC + preamble + proto header + payload.
+
+    The CPU stack writes the size/CRC preamble big-endian
+    (include/format.hpp); MGARD-X's Metadata writes it little-endian
+    (src/mgard-x/Metadata/Metadata.cpp Serialize<T>, LSB-first) —
+    ``little_endian=True`` produces the X flavor."""
+    order = "<" if little_endian else ">"
     hdr = protowire.encode_message(SCHEMAS["Header"], SCHEMAS, header)
     out = bytearray()
     out += MAGIC
-    out += struct.pack(">Q", len(hdr))
-    out += struct.pack(">I", zlib.crc32(hdr) & 0xFFFFFFFF)
+    out += struct.pack(order + "Q", len(hdr))
+    out += struct.pack(order + "I", zlib.crc32(hdr) & 0xFFFFFFFF)
     out += hdr
     out += payload
     return bytes(out)
@@ -354,6 +362,293 @@ def _decode_x_huffman(blob: bytes):
     return out - dict_size // 2
 
 
+def _x_levels(n: int):
+    """MGARD-X per-dim level walk: n -> n/2+1 down to 2
+    (include/mgard-x/Hierarchy/Hierarchy.hpp:199-216)."""
+    out = []
+    while n > 2:
+        out.append(n)
+        n = n // 2 + 1
+    out.append(2)
+    return out
+
+
+def _x_hierarchy(shape) -> Tuple[Hierarchy, int]:
+    """Build our dyadic hierarchy for an MGARD-X buffer and verify the X
+    ghost-node level walk coincides with it (else our transform is not
+    the inverse of the X refactoring).  Returns (hierarchy, l_target)."""
+    l_target = min(len(_x_levels(n)) for n in shape if n > 1) - 1
+    hier = Hierarchy(shape, placement="reference")
+    if hier.L != l_target or any(
+            _x_levels(n)[:l_target + 1] !=
+            [lev.n for lev in hier.dims[d][::-1]][:l_target + 1]
+            for d, n in enumerate(shape) if n > 1):
+        raise NotImplementedError(
+            "MGARD-X buffers: shape's ghost-node hierarchy differs from "
+            "the dyadic reference hierarchy (use 2^k+1 dims)")
+    return hier, l_target
+
+
+def _x_corner_slices(hier: Hierarchy):
+    """Mallat corner-layout slices for each (level, region) block, in
+    block_specs serialization order.  The X refactoring front-packs each
+    level's coarse block in place (gpk_reo, GridProcessingKernel3D.hpp
+    Operation3: coarse node (2i,2j,2k) -> (i,j,k)), so level-l detail
+    region r occupies, along dim d, [nc_d, n_d) if r refines d else
+    [0, nc_d), inside the recursively packed block."""
+    from ..ops.transform import block_specs
+
+    slices = []
+    for (l, r, bshape, pos) in block_specs(hier):
+        idx = []
+        for d in range(hier.ndim):
+            if hier.shape[d] == 1:
+                idx.append(slice(0, 1))
+                continue
+            lev = hier.dims[d][l] if l > 0 else None
+            if l == 0:
+                idx.append(slice(0, hier.shapes[0][d]))
+            elif r & (1 << d):
+                nc = len(lev.coarse_pos)
+                idx.append(slice(nc, lev.n))
+            else:
+                idx.append(slice(0, len(lev.coarse_pos)))
+        slices.append(tuple(idx))
+    return slices
+
+
+def _huffman_code_lengths(freq: np.ndarray) -> np.ndarray:
+    """Huffman code length per symbol from frequencies (0 where absent)."""
+    import heapq
+
+    sym = np.nonzero(freq)[0]
+    lengths = np.zeros(len(freq), dtype=np.int64)
+    if len(sym) == 0:
+        return lengths
+    if len(sym) == 1:
+        lengths[sym[0]] = 1
+        return lengths
+    # heap of (freq, tiebreak, [symbols...]); merging two nodes adds one
+    # bit to every symbol under them.
+    heap = [(int(freq[s]), int(s), [int(s)]) for s in sym]
+    heapq.heapify(heap)
+    tick = len(freq)
+    while len(heap) > 1:
+        fa, _, sa = heapq.heappop(heap)
+        fb, _, sb = heapq.heappop(heap)
+        for s in sa:
+            lengths[s] += 1
+        for s in sb:
+            lengths[s] += 1
+        tick += 1
+        heapq.heappush(heap, (fa + fb, tick, sa + sb))
+    return lengths
+
+
+def _x_codebook(lengths: np.ndarray):
+    """Canonical codebook in the X decoder's convention
+    (Lossless/ParallelHuffman/Decode.hpp:63-85): codes of length l
+    occupy consecutive values [first[l], first[l]+count[l]) and every
+    longer code's l-bit prefix is < first[l], so `v < first[l]` means
+    "shift in another bit".  Unused lengths get first[l]=2^64-1
+    (GenerateCW.hpp:79-82).  Returns (first[64] u64, entry[64] u64,
+    keys u64, code_of_symbol u64, length_of_symbol)."""
+    dict_size = len(lengths)
+    used = lengths > 0
+    maxlen = int(lengths.max())
+    assert maxlen < 64
+    count = np.bincount(lengths[used], minlength=maxlen + 2)
+    first_calc = np.zeros(maxlen + 1, dtype=np.uint64)
+    first_calc[maxlen] = 0
+    for l in range(maxlen - 1, 0, -1):
+        tot = int(first_calc[l + 1]) + int(count[l + 1])
+        assert tot % 2 == 0 or len(np.nonzero(used)[0]) == 1
+        first_calc[l] = (tot + 1) // 2
+    first = np.full(64, np.iinfo(np.uint64).max, dtype=np.uint64)
+    entry = np.zeros(64, dtype=np.uint64)
+    keys = []
+    codes = np.zeros(dict_size, dtype=np.uint64)
+    pos = 0
+    for l in range(1, maxlen + 1):
+        syms = np.nonzero(lengths == l)[0]
+        if len(syms) == 0:
+            continue
+        first[l] = first_calc[l]
+        entry[l] = pos
+        codes[syms] = first_calc[l] + np.arange(len(syms), dtype=np.uint64)
+        keys.extend(int(s) for s in syms)
+        pos += len(syms)
+    return first, entry, np.asarray(keys, dtype=np.uint64), codes
+
+
+def _encode_x_huffman(q: np.ndarray, dict_size: int = 8192,
+                      chunk_size: int = 20480) -> bytes:
+    """Serialize a signed quantized stream as an MGARD-X Huffman blob —
+    the encode mirror of :func:`_decode_x_huffman` (layout:
+    Lossless/ParallelHuffman/Huffman.hpp:130-266, every field aligned to
+    its own size).  Out-of-dictionary values ride the outlier channel
+    with the *shifted* value, symbol 0 in the stream
+    (Quantization/LinearQuantization.hpp:213-240)."""
+    pc = len(q)
+    shifted = q.astype(np.int64) + dict_size // 2
+    outlier = (shifted < 0) | (shifted >= dict_size)
+    out_idx = np.nonzero(outlier)[0].astype(np.uint64)
+    out_vals = shifted[outlier].astype(np.int64)
+    sym = np.where(outlier, 0, shifted)
+
+    freq = np.bincount(sym, minlength=dict_size)
+    lengths = _huffman_code_lengths(freq)
+    first, entry, keys, codes = _x_codebook(lengths)
+
+    # chunked bitstream: each chunk starts at a u64 word boundary,
+    # MSB-first within each word
+    sym_len = lengths[sym]
+    sym_code = codes[sym]
+    nchunk = (pc - 1) // chunk_size + 1 if pc else 0
+    chunk_of = np.arange(pc) // chunk_size
+    bits_per_chunk = np.bincount(chunk_of, weights=sym_len,
+                                 minlength=nchunk).astype(np.int64)
+    words_per_chunk = (bits_per_chunk - 1) // 64 + 1
+    word_entry = np.concatenate([[0], np.cumsum(words_per_chunk)[:-1]]
+                                ).astype(np.int64)
+    total_words = int(words_per_chunk.sum())
+
+    # global bit offset of each symbol = its chunk's word start * 64 +
+    # exclusive prefix of code lengths within the chunk
+    cum = np.cumsum(sym_len) - sym_len
+    chunk_bit_base = np.concatenate(
+        [[0], np.cumsum(bits_per_chunk)[:-1]]).astype(np.int64)
+    within = cum - chunk_bit_base[chunk_of]
+    start = word_entry[chunk_of] * 64 + within
+
+    bits = np.zeros(total_words * 64, dtype=np.uint8)
+    maxlen = int(lengths.max()) if pc else 0
+    for j in range(maxlen):
+        m = sym_len > j
+        pos = start[m] + j
+        bits[pos] = ((sym_code[m] >> (sym_len[m] - 1 - j).astype(np.uint64))
+                     & np.uint64(1)).astype(np.uint8)
+    packed = np.packbits(bits)  # MSB-first bytes
+    ddata = np.frombuffer(packed.tobytes(), dtype=">u8").astype(np.uint64)
+
+    # decodebook: first[64] | entry[64] | keys (u64 each), padded to
+    # dict_size keys (decode only reads the used prefix via entry[])
+    keys_full = np.zeros(dict_size, dtype=np.uint64)
+    keys_full[:len(keys)] = keys
+    db = first.tobytes() + entry.tobytes() + keys_full.tobytes()
+
+    out = bytearray()
+
+    def put(arr, size):
+        while len(out) % size:
+            out.append(0)
+        out.extend(arr if isinstance(arr, (bytes, bytearray))
+                   else np.ascontiguousarray(arr).tobytes())
+
+    put(struct.pack("<Q", pc), 8)
+    put(struct.pack("<i", dict_size), 4)
+    put(struct.pack("<i", chunk_size), 4)
+    put(struct.pack("<Q", 2 * nchunk), 8)
+    put(np.concatenate([bits_per_chunk, word_entry]).astype("<u8"), 8)
+    put(struct.pack("<Q", len(db)), 8)
+    put(db, 1)
+    put(struct.pack("<Q", len(ddata)), 8)
+    put(ddata.astype("<u8"), 8)
+    put(struct.pack("<Q", len(out_idx)), 8)
+    put(out_idx.astype("<u8"), 8)
+    put(out_vals.astype("<i8"), 8)
+    return bytes(out)
+
+
+def compress_mgard_x(data: np.ndarray, tolerance: float,
+                     zstd: bool = True, dict_size: int = 8192,
+                     chunk_size: int = 20480) -> bytes:
+    """Compress into the MGARD-X container format (decodable by
+    `mgard-x -d`): Metadata preamble (little-endian ints) + proto header
+    + |u64 sub_size| + X-Huffman stream over the Mallat corner-layout
+    quantization.  The encode mirror of :func:`_decompress_mgard_x`;
+    same support matrix (uniform grids, L-inf ABS, MultiDim, reorder=0,
+    2^k+1-compatible shapes).  CR<1 falls back to raw subdomain bytes
+    (CPUPipelines.hpp:115-134)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import transform
+
+    data = np.asarray(data)
+    if data.dtype not in (np.float32, np.float64):
+        raise TypeError("MGARD-X write path: float32/float64 only")
+    hier, l_target = _x_hierarchy(data.shape)
+
+    f = jax.jit(lambda x: transform.pyramid_to_blocks(
+        hier, transform.decompose(hier, x)))
+    blocks = f(jnp.asarray(data))
+    F = np.zeros(data.shape, dtype=np.float64)
+    for sl, blk in zip(_x_corner_slices(hier), blocks):
+        F[sl] = np.asarray(blk, dtype=np.float64)
+
+    d_eff = sum(1 for n in data.shape if n > 1)
+    # T-typed tol (Metadata stores the T cast; mirror for header parity)
+    tol_t = float(np.asarray(tolerance, dtype=data.dtype))
+    quantum = 2.0 * tol_t / ((l_target + 1) * (1 + 3.0 ** d_eff))
+    scaled = F / quantum
+    q = np.trunc(np.copysign(0.5 + np.abs(scaled), scaled)).astype(np.int64)
+
+    blob = _encode_x_huffman(q.ravel(), dict_size, chunk_size)
+    compressor = X_HUFFMAN
+    if zstd:
+        import zstandard
+        blob = struct.pack("<Q", len(blob)) + \
+            zstandard.ZstdCompressor(level=3).compress(blob)
+        compressor = X_HUFFMAN_ZSTD
+    raw = data.tobytes()
+    if len(blob) >= len(raw):  # CR < 1: store the subdomain raw
+        blob = raw
+        compressor = X_HUFFMAN_ZSTD if zstd else X_HUFFMAN
+    payload = struct.pack("<Q", len(blob)) + blob
+
+    header = {
+        "mgard_version": {"major_": 1, "minor_": 0, "patch_": 0},
+        "file_format_version": {"major_": 0, "minor_": 0, "patch_": 0},
+        "domain": {
+            "topology": 0,
+            "cartesian_grid_topology": {
+                "dimension": data.ndim,
+                "shape": list(data.shape),
+            },
+            "geometry": 0,
+        },
+        "dataset": {
+            "type": DATASET_FLOAT if data.dtype == np.float32
+            else DATASET_DOUBLE,
+            "dimension": 1,
+        },
+        "error_control": {
+            "mode": 0,
+            "norm": NORM_L_INFINITY,
+            "s": math.inf,
+            "tolerance": tol_t,
+        },
+        "domain_decomposition": {
+            "method": 0,
+            "decomposition_size": data.shape[0],
+        },
+        "function_decomposition": {
+            "transform": 0, "hierarchy": 1, "L_target": 0,
+        },
+        "quantization": {"method": 1, "bin_widths": 0, "type": 3,
+                         "big_endian": 0},
+        "encoding": {
+            "preprocessor": 0,
+            "compressor": compressor,
+            "huffman_dictionary_size": dict_size,
+            "huffman_block_size": chunk_size,
+        },
+        "device": {"backend": 1},
+    }
+    return write_container(header, payload, little_endian=True)
+
+
 def _decompress_mgard_x(header, payload: bytes) -> np.ndarray:
     """Decode an MGARD-X (mgard-x executable) buffer — reference
     Metadata.hpp:20-160 preamble + per-subdomain Compressor streams
@@ -364,8 +659,6 @@ def _decompress_mgard_x(header, payload: bytes) -> np.ndarray:
     level-compatible shapes (where the X ghost-node hierarchy's level
     shapes coincide with the reference dyadic hierarchy's).
     """
-    import math as _math
-
     domain = header["domain"]
     topo = domain["cartesian_grid_topology"]
     shape = tuple(int(x) for x in topo["shape"])
@@ -386,27 +679,7 @@ def _decompress_mgard_x(header, payload: bytes) -> np.ndarray:
         raise NotImplementedError(
             "MGARD-X buffers: level linearization (reorder) not supported")
 
-    # X level walk: n -> n/2+1 down to 2 (Hierarchy.hpp:199-216); must
-    # coincide with the reference dyadic hierarchy for our recompose to
-    # be its inverse.
-    def x_levels(n):
-        out = []
-        while n > 2:
-            out.append(n)
-            n = n // 2 + 1
-        out.append(2)
-        return out
-
-    l_target = min(len(x_levels(n)) for n in shape if n > 1) - 1
-
-    hier = Hierarchy(shape, placement="reference")
-    if hier.L != l_target or any(
-            x_levels(n)[:l_target + 1] !=
-            [lev.n for lev in hier.dims[d][::-1]][:l_target + 1]
-            for d, n in enumerate(shape) if n > 1):
-        raise NotImplementedError(
-            "MGARD-X buffers: shape's ghost-node hierarchy differs from "
-            "the dyadic reference hierarchy (use 2^k+1 dims)")
+    hier, l_target = _x_hierarchy(shape)
 
     compressor = header["encoding"]["compressor"]
     (sub_size,) = struct.unpack_from("<Q", payload, 0)
@@ -434,34 +707,13 @@ def _decompress_mgard_x(header, payload: bytes) -> np.ndarray:
 
     from ..ops import transform
 
-    # The X refactoring front-packs each level's coarse block in place
-    # (gpk_reo, GridProcessingKernel3D.hpp Operation3: coarse node
-    # (2i, 2j, 2k) -> (i, j, k)), so the quantized array is in Mallat
-    # corner layout: level-l detail region r occupies, along dim d,
-    # [nc_d, n_d) if r refines d else [0, nc_d), inside the recursively
-    # packed [0, shape(l)) block.  Extract the (level, region) blocks in
-    # block_specs order and let blocks_to_pyramid interleave them back.
-    def unpack(F):
-        blocks = []
-        for (l, r, bshape, pos) in transform.block_specs(hier):
-            idx = []
-            for d in range(hier.ndim):
-                if hier.shape[d] == 1:
-                    idx.append(slice(0, 1))
-                    continue
-                lev = hier.dims[d][l] if l > 0 else None
-                if l == 0:
-                    idx.append(slice(0, hier.shapes[0][d]))
-                elif r & (1 << d):
-                    nc = len(lev.coarse_pos)
-                    idx.append(slice(nc, lev.n))
-                else:
-                    idx.append(slice(0, len(lev.coarse_pos)))
-            blocks.append(F[tuple(idx)])
-        return blocks
+    # Extract the Mallat corner-layout (level, region) blocks (see
+    # _x_corner_slices) and let blocks_to_pyramid interleave them back.
+    slices = _x_corner_slices(hier)
 
     f = jax.jit(lambda x: transform.recompose(
-        hier, transform.blocks_to_pyramid(hier, unpack(x))))
+        hier, transform.blocks_to_pyramid(
+            hier, [x[sl] for sl in slices])))
     return np.asarray(f(jnp.asarray(fine))).astype(dtype)
 
 

@@ -64,6 +64,75 @@ def test_live_roundtrip(tmp_path, mode, tol):
     assert np.abs(got.astype(np.float64) - v).max() <= bound
 
 
+@pytest.mark.parametrize("zstd", [True, False])
+def test_x_write_roundtrip(zstd):
+    """Round-4 review missing item #5: the X container *write* path.
+    Our compress_mgard_x -> our decompress must meet the bound."""
+    from mgard_tpu.io import mgard_compat
+
+    from tests.test_compress_e2e import smooth_field
+
+    shape = (33, 33, 33)
+    v = smooth_field(shape, seed=7).astype(np.float32)
+    buf = mgard_compat.compress_mgard_x(v, 1e-3, zstd=zstd)
+    header, _ = mgard_compat.read_container(buf)
+    assert header["encoding"]["compressor"] in (
+        mgard_compat.X_HUFFMAN, mgard_compat.X_HUFFMAN_ZSTD)
+    out = mgard_tpu.decompress(buf)
+    assert out.dtype == np.float32 and out.shape == shape
+    assert np.abs(out.astype(np.float64) - v).max() <= 1e-3
+
+
+def test_x_write_f64_and_outliers():
+    """f64 dataset type plus a spike that forces the outlier channel
+    (|q| beyond the 8192-entry dictionary)."""
+    from mgard_tpu.io import mgard_compat
+
+    rng = np.random.default_rng(3)
+    shape = (65, 33)
+    v = rng.standard_normal(shape) * 1e-3
+    v[7, 11] = 50.0  # quantizes far outside the dictionary
+    buf = mgard_compat.compress_mgard_x(v, 1e-4, zstd=True)
+    out = mgard_tpu.decompress(buf)
+    assert out.dtype == np.float64
+    assert np.abs(out - v).max() <= 1e-4
+
+
+def test_x_write_cr_fallback():
+    """Incompressible data: writer stores the raw subdomain (CR < 1
+    fallback), reader returns it exactly."""
+    from mgard_tpu.io import mgard_compat
+
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal((33, 33)).astype(np.float32)
+    buf = mgard_compat.compress_mgard_x(v, 1e-7, zstd=False)
+    out = mgard_tpu.decompress(buf)
+    assert np.array_equal(out, v)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not MGARDX.exists(),
+                    reason="mgard-x serial binary not built")
+def test_live_mgardx_decodes_our_buffer(tmp_path):
+    """Bidirectional interop: `mgard-x -x -d serial` must decode a
+    buffer we wrote (the decode direction is covered by the golden
+    fixtures and test_live_roundtrip)."""
+    from mgard_tpu.io import mgard_compat
+
+    from tests.test_compress_e2e import smooth_field
+
+    shape = (33, 33, 33)
+    v = smooth_field(shape, seed=13).astype(np.float32)
+    comp = tmp_path / "ours.mgardx"
+    dec = tmp_path / "out.bin"
+    comp.write_bytes(mgard_compat.compress_mgard_x(v, 1e-3, zstd=True))
+    subprocess.run(
+        [str(MGARDX), "-x", "-c", str(comp), "-o", str(dec),
+         "-d", "serial"], check=True, capture_output=True)
+    got = np.fromfile(dec, dtype=np.float32).reshape(shape)
+    assert np.abs(got.astype(np.float64) - v).max() <= 1e-3
+
+
 @pytest.mark.skipif(not MGARDX.exists(),
                     reason="mgard-x serial binary not built")
 def test_live_raw_fallback(tmp_path):
