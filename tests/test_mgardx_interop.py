@@ -127,7 +127,7 @@ def test_live_mgardx_decodes_our_buffer(tmp_path):
     dec = tmp_path / "out.bin"
     comp.write_bytes(mgard_compat.compress_mgard_x(v, 1e-3, zstd=True))
     subprocess.run(
-        [str(MGARDX), "-x", "-c", str(comp), "-o", str(dec),
+        [str(MGARDX), "-x", "-i", str(comp), "-o", str(dec),
          "-d", "serial"], check=True, capture_output=True)
     got = np.fromfile(dec, dtype=np.float32).reshape(shape)
     assert np.abs(got.astype(np.float64) - v).max() <= 1e-3
