@@ -16,6 +16,7 @@ import numpy as np
 
 from .config import Config, ErrorMode
 from .io import format as fmt
+from .ops import bitplane
 from .models.compressor import get_compressor
 
 __all__ = ["compress", "decompress", "release_cache",
@@ -289,6 +290,7 @@ def _compress_multiblock(arr, tolerance, s, emode, coordinates, cfg,
                 if cfg.decomposition == Decomposition.HYBRID
                 else int(cfg.decomposition))
     header = fmt.Header(
+        chunk_groups=bitplane.CHUNK_GROUPS,
         dtype=arr.dtype, shape=arr.shape,
         uniform=coordinates is None,
         coordinates=None if coordinates is None else [
@@ -384,6 +386,7 @@ def _compress_blocknd(arr, tolerance, s, emode, coordinates, cfg, grid):
                 if cfg.decomposition == Decomposition.HYBRID
                 else int(cfg.decomposition))
     header = fmt.Header(
+        chunk_groups=bitplane.CHUNK_GROUPS,
         dtype=arr.dtype, shape=arr.shape,
         uniform=coordinates is None,
         coordinates=None if coordinates is None else [
@@ -502,6 +505,12 @@ def decompress(buf: bytes) -> np.ndarray:
         from .io import mgard_compat
         return mgard_compat.decompress_mgard(buf)
     header, sections = fmt.read_container(buf)
+    enc_cg = header.chunk_groups or 2048
+    if enc_cg != bitplane.CHUNK_GROUPS:
+        raise ValueError(
+            f"container was encoded with chunk_groups={enc_cg} but this "
+            f"process runs with {bitplane.CHUNK_GROUPS}; set "
+            f"MGARD_TPU_CHUNK_GROUPS={enc_cg} before importing mgard_tpu")
     if header.dd_grid is not None:
         out = _decompress_blocknd(header, sections)
     elif header.dd_nblocks:

@@ -100,3 +100,15 @@ class Config:
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
+
+    @classmethod
+    def tuned(cls, shape, dtype) -> "Config":
+        """Config from the autotune table for this (device, dtype, size)
+        — the reference's AutoTuner-consulting Config path
+        (include/mgard-x/Config/Config.h + AutoTuner tables).  Falls
+        back to defaults when no entry exists.  Import-wide runtime
+        knobs (codec chunk width, Pallas block sizes, matmul cap) are
+        applied separately at import by utils.autotune.apply_tuned()."""
+        from .utils import autotune
+        cfg = autotune.lookup(shape, dtype)
+        return cfg if cfg is not None else cls()

@@ -81,6 +81,11 @@ class Header:
     # split at np.linspace(0, n, g+1).astype(int) edges.  None = not a
     # Block decomposition (dd_dim/dd_nblocks slab form applies).
     dd_grid: Optional[Tuple[int, ...]] = None
+    # Codec chunk width (bitplane.CHUNK_GROUPS) used at encode time; the
+    # stream layout depends on it, so decode must run with the same
+    # value.  0 = the 2048 default (containers written before the knob
+    # became tunable carry no field).
+    chunk_groups: int = 0
 
     def pack(self) -> bytes:
         out = bytearray()
@@ -107,7 +112,8 @@ class Header:
         out += struct.pack(f"<{len(crcs)}I", *crcs)
         flags = ((1 if self.orig_shape is not None else 0)
                  | (2 if self.dd_edges is not None else 0)
-                 | (4 if self.dd_grid is not None else 0))
+                 | (4 if self.dd_grid is not None else 0)
+                 | (8 if self.chunk_groups not in (0, 2048) else 0))
         out += struct.pack("<B", flags)
         if self.orig_shape is not None:
             out += struct.pack("<B", len(self.orig_shape))
@@ -119,6 +125,8 @@ class Header:
         if self.dd_grid is not None:
             out += struct.pack("<B", len(self.dd_grid))
             out += struct.pack(f"<{len(self.dd_grid)}I", *self.dd_grid)
+        if flags & 8:
+            out += struct.pack("<I", self.chunk_groups)
         return bytes(out)
 
     @classmethod
@@ -153,6 +161,7 @@ class Header:
         orig_shape = None
         dd_edges = None
         dd_grid = None
+        chunk_groups = 0
         if off < len(buf):
             (flags,) = take("<B")
             if flags & 1:
@@ -164,8 +173,10 @@ class Header:
             if flags & 4:
                 (gd,) = take("<B")
                 dd_grid = tuple(take(f"<{gd}I"))
+            if flags & 8:
+                (chunk_groups,) = take("<I")
         return cls(orig_shape=orig_shape, dd_edges=dd_edges,
-                   dd_grid=dd_grid,
+                   dd_grid=dd_grid, chunk_groups=chunk_groups,
                    dtype=np.dtype(_DTYPES[dtype_code]), shape=tuple(shape),
                    uniform=bool(uniform), coordinates=coordinates,
                    error_mode=error_mode, s=s, tolerance=tolerance,

@@ -452,6 +452,7 @@ class Compressor:
             sections = self.finalize_sections(self.encode_async(v, abs_tol))
 
         header = fmt.Header(
+        chunk_groups=bitplane.CHUNK_GROUPS,
             dtype=self.dtype, shape=self.hier.shape,
             uniform=self.hier.uniform,
             coordinates=None if self.hier.uniform else self.hier.coordinates,

@@ -185,6 +185,7 @@ def compress_roi(data, tolerance: float, s: float = math.inf,
     v = jnp.asarray(arr)
     tiles, exponents, words, count = encode(v, float(tolerance))
     header = fmt.Header(
+        chunk_groups=bitplane.CHUNK_GROUPS,
         dtype=arr.dtype, shape=hier.shape, uniform=hier.uniform,
         coordinates=None if hier.uniform else hier.coordinates,
         error_mode=int(ErrorMode.ABS), s=float(s),

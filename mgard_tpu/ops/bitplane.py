@@ -60,7 +60,12 @@ __all__ = [
 ]
 
 GROUP = 32          # values per group == bits per word
-CHUNK_GROUPS = 2048  # groups per chunk == words per emitted plane row.
+# groups per chunk == words per emitted plane row.  Seeded from the
+# autotune table / env before import (utils/autotune.py); the stream
+# layout depends on it, so containers record it in their header and
+# decode verifies the match.
+CHUNK_GROUPS = int(__import__("os").environ.get(
+    "MGARD_TPU_CHUNK_GROUPS", "2048"))
 #                     Sized so (a) the fused kernels, which are
 #                     DMA-dispatch-bound (~0.3 us per chunk), issue few,
 #                     large transfers, and (b) one bitplane of one chunk
@@ -71,7 +76,8 @@ CHUNK_GROUPS = 2048  # groups per chunk == words per emitted plane row.
 #                     for Mosaic to prove.  In the FINE physical-order layout every
 #                     chunk mixes levels anyway, so the coarser exponent
 #                     granularity costs almost nothing.
-CHUNK_TILE = 4      # chunks per Pallas grid step (== pallas_kernels.BP_CB);
+CHUNK_TILE = int(__import__("os").environ.get("MGARD_TPU_BP_CB", "4"))
+#                     chunks per Pallas grid step (== pallas_kernels.BP_CB);
 #                     chunk counts are padded to this so the fused condense
 #                     kernels see whole tiles and the capacity buffer has
 #                     one tile of DMA headroom

@@ -32,9 +32,15 @@ _BP_MASKS = [np.uint32(0x0000FFFF), np.uint32(0x00FF00FF),
 _BP_SHIFTS = [16, 8, 4, 2, 1]
 # Chunks per grid step.
 # With 2048-group chunks, 4 chunks per step keeps double-buffered in
-# tiles + planes scratch + temps within VMEM (each (4, 32, 16, 128) u32
-# buffer is 1 MB).
-BP_CB = 4
+# tiles + planes scratch + temps within VMEM (each (4, 32, BP_R, 128) u32
+# buffer is 1 MB).  BP_CB and BP_W are seeded from the autotune table /
+# env before this module imports (utils/autotune.py) — the reference
+# analog of the AutoTuner's per-kernel block-size tables
+# (include/mgard-x/RuntimeX/AutoTuners/AutoTuner.h:46-120).
+import os as _os
+
+BP_CB = int(_os.environ.get("MGARD_TPU_BP_CB", "4"))
+assert 1 <= BP_CB <= 8, "MGARD_TPU_BP_CB must be in [1, 8]"
 
 
 def _butterfly_rows(rows):
@@ -138,7 +144,11 @@ def bp_encode_core(qc: jax.Array):
 # so it needs no switch at all.
 
 _META_ROWS = 8         # SMEM block sublane quantum
-BP_W = 2048            # == bitplane.CHUNK_GROUPS; one plane = 2x(8,128)
+BP_W = int(_os.environ.get("MGARD_TPU_CHUNK_GROUPS", "2048"))
+#                      == bitplane.CHUNK_GROUPS; one plane = BP_R x (8,128)
+assert BP_W % 128 == 0 and BP_W > 0, \
+    "MGARD_TPU_CHUNK_GROUPS must be a positive multiple of 128"
+BP_R = BP_W // 128     # (8,128) sublane tiles per chunk bitplane row
 
 
 def _pack_meta(offsets: jax.Array, ntiles: int,
@@ -218,7 +228,7 @@ def bp_encode_condense(zc: jax.Array, offsets: jax.Array,
     assert nc % BP_CB == 0
     ntiles = nc // BP_CB
     grid = (ntiles,)
-    zc4 = zc.reshape(nc, 32, 16, 128)
+    zc4 = zc.reshape(nc, 32, BP_R, 128)
     # total stream rows = last tile's base + its row count
     total = offsets[(ntiles - 1) * BP_CB] + tile_rows[-1]
     meta = _pack_meta(offsets, ntiles, total)
@@ -228,13 +238,13 @@ def bp_encode_condense(zc: jax.Array, offsets: jax.Array,
         in_specs=[
             pl.BlockSpec((_META_ROWS, 128), lambda i: (i // _META_ROWS, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((BP_CB, 32, 16, 128), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((BP_CB, 32, BP_R, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((cap_rows, 16, 128), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((cap_rows, BP_R, 128), jnp.uint32),
         scratch_shapes=[
-            pltpu.VMEM((BP_CB, 32, 16, 128), jnp.uint32),
+            pltpu.VMEM((BP_CB, 32, BP_R, 128), jnp.uint32),
             pltpu.SemaphoreType.DMA((BP_CB,)),
         ],
     )(meta, zc4)
@@ -248,7 +258,7 @@ def bp_encode_condense(zc: jax.Array, offsets: jax.Array,
 def _bp_quant_kernel(invq_ref, x_ref, zc_ref, zmax_ref, flag_ref):
     """scale -> round-half-away -> zigzag -> per-chunk max + status.
 
-    ``x``: (CB, 32, 16, 128) float32 coefficients; ``invq``: scalar
+    ``x``: (CB, 32, BP_R, 128) float32 coefficients; ``invq``: scalar
     inverse quantum (1.0 when the caller pre-scaled).  Status code per
     chunk: 2 = non-finite value (NaN/Inf input), 1 = |q| past the int32
     ceiling (tolerance too tight), matching compressor._raise_status.
@@ -290,7 +300,7 @@ def bp_quant_zigzag(xc: jax.Array, inv_q) -> tuple:
     per-chunk max uint32 (nchunks,), per-chunk status int32 (nchunks,))."""
     nc = xc.shape[0]
     assert nc % BP_CB == 0
-    x4 = xc.reshape(nc, 32, 16, 128)
+    x4 = xc.reshape(nc, 32, BP_R, 128)
     invq = jnp.asarray(inv_q, jnp.float32).reshape(1, 1)
     zc, zmax, flag = pl.pallas_call(
         _bp_quant_kernel,
@@ -298,11 +308,11 @@ def bp_quant_zigzag(xc: jax.Array, inv_q) -> tuple:
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((BP_CB, 32, 16, 128), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((BP_CB, 32, BP_R, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((BP_CB, 32, 16, 128), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((BP_CB, 32, BP_R, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -310,7 +320,7 @@ def bp_quant_zigzag(xc: jax.Array, inv_q) -> tuple:
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((nc, 32, 16, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((nc, 32, BP_R, 128), jnp.uint32),
             jax.ShapeDtypeStruct((nc // BP_CB, 8, 128), jnp.uint32),
             jax.ShapeDtypeStruct((nc // BP_CB, 8, 128), jnp.int32),
         ),
@@ -322,7 +332,7 @@ def bp_quant_zigzag(xc: jax.Array, inv_q) -> tuple:
 
 def _bp_condense_into_kernel(meta_ref, q_ref, _buf_ref, out_ref,
                              planes_ref, sems):
-    z = q_ref[:]                                   # (CB, 32, 16, 128) uint32
+    z = q_ref[:]                                   # (CB, 32, BP_R, 128) uint32
     rows = _butterfly_rows([z[:, i] for i in range(32)])
     planes_ref[:] = jnp.stack(rows, axis=1)
     _enc_dma_loop(meta_ref, planes_ref, out_ref, sems, 'start')
@@ -341,7 +351,7 @@ def _bp_condense_into_kernel(meta_ref, q_ref, _buf_ref, out_ref,
 # ---------------------------------------------------------------------------
 
 def _quant_zigzag_block(x, invq):
-    """(CB, 32, 16, 128) f32 -> uint32 zigzag, matching _bp_quant_kernel
+    """(CB, 32, BP_R, 128) f32 -> uint32 zigzag, matching _bp_quant_kernel
     bit-for-bit (scale, round half away from zero, zigzag)."""
     xs = x * invq
     a = jnp.abs(xs) + 0.5
@@ -378,24 +388,24 @@ def bp_quant_condense(xc: jax.Array, inv_q, offsets: jax.Array,
     ``xc``: (nchunks, 32, BP_W) float32 (nchunks % BP_CB == 0);
     ``offsets``: (nchunks,) int32 GLOBAL stream plane-row offsets;
     ``total_rows``: scalar int32 — one past this segment's last row.
-    With ``buf`` None allocates a fresh (cap_rows, 16, 128) stream
+    With ``buf`` None allocates a fresh (cap_rows, BP_R, 128) stream
     buffer (first segment); otherwise writes into ``buf`` via aliasing.
     """
     nc = xc.shape[0]
     assert nc % BP_CB == 0
     ntiles = nc // BP_CB
-    x4 = xc.reshape(nc, 32, 16, 128)
+    x4 = xc.reshape(nc, 32, BP_R, 128)
     meta = _pack_meta(offsets, ntiles, total_rows)
     invq = jnp.asarray(inv_q, jnp.float32).reshape(1, 1)
     scratch = [
-        pltpu.VMEM((BP_CB, 32, 16, 128), jnp.uint32),
+        pltpu.VMEM((BP_CB, 32, BP_R, 128), jnp.uint32),
         pltpu.SemaphoreType.DMA((BP_CB,)),
     ]
     smem1 = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     meta_spec = pl.BlockSpec((_META_ROWS, 128),
                              lambda i: (i // _META_ROWS, 0),
                              memory_space=pltpu.SMEM)
-    x_spec = pl.BlockSpec((BP_CB, 32, 16, 128), lambda i: (i, 0, 0, 0),
+    x_spec = pl.BlockSpec((BP_CB, 32, BP_R, 128), lambda i: (i, 0, 0, 0),
                           memory_space=pltpu.VMEM)
     if buf is None:
         return pl.pallas_call(
@@ -403,7 +413,7 @@ def bp_quant_condense(xc: jax.Array, inv_q, offsets: jax.Array,
             grid=(ntiles,),
             in_specs=[smem1, meta_spec, x_spec],
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-            out_shape=jax.ShapeDtypeStruct((cap_rows, 16, 128), jnp.uint32),
+            out_shape=jax.ShapeDtypeStruct((cap_rows, BP_R, 128), jnp.uint32),
             scratch_shapes=scratch,
         )(invq, meta, x4)
     return pl.pallas_call(
@@ -450,7 +460,7 @@ def bp_quant_max(xc: jax.Array, inv_q) -> tuple:
     the zigzag chunks."""
     nc = xc.shape[0]
     assert nc % BP_CB == 0
-    x4 = xc.reshape(nc, 32, 16, 128)
+    x4 = xc.reshape(nc, 32, BP_R, 128)
     invq = jnp.asarray(inv_q, jnp.float32).reshape(1, 1)
     zmax, flag = pl.pallas_call(
         _bp_quant_max_kernel,
@@ -458,7 +468,7 @@ def bp_quant_max(xc: jax.Array, inv_q) -> tuple:
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((BP_CB, 32, 16, 128), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((BP_CB, 32, BP_R, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -482,14 +492,14 @@ def bp_condense_into(zc: jax.Array, offsets: jax.Array,
     ``zc``: (nchunks, 32, BP_W) uint32 zigzag chunks (nchunks % BP_CB
     == 0); ``offsets``: (nchunks,) int32 GLOBAL plane-row offsets;
     ``total_rows``: scalar int32 — the stream row offset one past this
-    segment's last chunk; ``buf``: (cap_rows, 16, 128) uint32 stream
+    segment's last chunk; ``buf``: (cap_rows, BP_R, 128) uint32 stream
     buffer, ALIASED to the output (chained across segments with no
     copies — the reference serializes per-subdomain streams into one
     buffer the same way, Compressor.hpp Serialize)."""
     nc = zc.shape[0]
     assert nc % BP_CB == 0
     ntiles = nc // BP_CB
-    zc4 = zc.reshape(nc, 32, 16, 128)
+    zc4 = zc.reshape(nc, 32, BP_R, 128)
     meta = _pack_meta(offsets, ntiles, total_rows)
     return pl.pallas_call(
         _bp_condense_into_kernel,
@@ -497,14 +507,14 @@ def bp_condense_into(zc: jax.Array, offsets: jax.Array,
         in_specs=[
             pl.BlockSpec((_META_ROWS, 128), lambda i: (i // _META_ROWS, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((BP_CB, 32, 16, 128), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((BP_CB, 32, BP_R, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct(buf.shape, jnp.uint32),
         scratch_shapes=[
-            pltpu.VMEM((BP_CB, 32, 16, 128), jnp.uint32),
+            pltpu.VMEM((BP_CB, 32, BP_R, 128), jnp.uint32),
             pltpu.SemaphoreType.DMA((BP_CB,)),
         ],
         input_output_aliases={2: 0},
@@ -515,8 +525,8 @@ def _bp_dec_condense_f32_kernel(q_ref, meta_ref, e_ref, words_ref, out_ref,
                                 planes_ref, sems):
     _dec_dma_loop(meta_ref, planes_ref, words_ref, sems, 'start')
     _dec_dma_loop(meta_ref, planes_ref, words_ref, sems, 'wait')
-    e = e_ref[:]                                   # (CB, 16, 128) int32
-    b_idx = jax.lax.broadcasted_iota(jnp.int32, (BP_CB, 32, 16, 128), 1)
+    e = e_ref[:]                                   # (CB, BP_R, 128) int32
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, (BP_CB, 32, BP_R, 128), 1)
     planes = jnp.where(b_idx < e[:, None], planes_ref[:], np.uint32(0))
     rows = _butterfly_rows([planes[:, i] for i in range(32)])
     z = jnp.stack(rows, axis=1).astype(jnp.int32)
@@ -532,8 +542,8 @@ def bp_decode_condense_f32(words2d: jax.Array, offsets: jax.Array,
     assert nc % BP_CB == 0
     ntiles = nc // BP_CB
     cap_rows = words2d.shape[0]
-    words4 = words2d.reshape(cap_rows, 16, 128)
-    e_b = jnp.broadcast_to(e[:, None, None], (nc, 16, 128)).astype(jnp.int32)
+    words4 = words2d.reshape(cap_rows, BP_R, 128)
+    e_b = jnp.broadcast_to(e[:, None, None], (nc, BP_R, 128)).astype(jnp.int32)
     total = offsets[(ntiles - 1) * BP_CB] \
         + jnp.sum(e[(ntiles - 1) * BP_CB:]).astype(jnp.int32)
     meta = _pack_meta(offsets, ntiles, total)
@@ -546,15 +556,15 @@ def bp_decode_condense_f32(words2d: jax.Array, offsets: jax.Array,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((_META_ROWS, 128), lambda i: (i // _META_ROWS, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((BP_CB, 16, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((BP_CB, BP_R, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((BP_CB, 32, 16, 128), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((BP_CB, 32, BP_R, 128), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nc, 32, 16, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nc, 32, BP_R, 128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((BP_CB, 32, 16, 128), jnp.uint32),
+            pltpu.VMEM((BP_CB, 32, BP_R, 128), jnp.uint32),
             pltpu.SemaphoreType.DMA((BP_CB,)),
         ],
     )(q, meta, e_b, words4)
@@ -586,8 +596,8 @@ def _bp_dec_condense_kernel(meta_ref, e_ref, words_ref, out_ref,
                             planes_ref, sems):
     _dec_dma_loop(meta_ref, planes_ref, words_ref, sems, 'start')
     _dec_dma_loop(meta_ref, planes_ref, words_ref, sems, 'wait')
-    e = e_ref[:]                                   # (CB, 16, 128) int32
-    b_idx = jax.lax.broadcasted_iota(jnp.int32, (BP_CB, 32, 16, 128), 1)
+    e = e_ref[:]                                   # (CB, BP_R, 128) int32
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, (BP_CB, 32, BP_R, 128), 1)
     planes = jnp.where(b_idx < e[:, None], planes_ref[:], np.uint32(0))
     rows = _butterfly_rows([planes[:, i] for i in range(32)])
     z = jnp.stack(rows, axis=1).astype(jnp.int32)
@@ -606,8 +616,8 @@ def bp_decode_condense(words2d: jax.Array, offsets: jax.Array,
     assert nc % BP_CB == 0
     ntiles = nc // BP_CB
     cap_rows = words2d.shape[0]
-    words4 = words2d.reshape(cap_rows, 16, 128)
-    e_b = jnp.broadcast_to(e[:, None, None], (nc, 16, 128)).astype(jnp.int32)
+    words4 = words2d.reshape(cap_rows, BP_R, 128)
+    e_b = jnp.broadcast_to(e[:, None, None], (nc, BP_R, 128)).astype(jnp.int32)
     grid = (ntiles,)
     total = offsets[(ntiles - 1) * BP_CB] \
         + jnp.sum(e[(ntiles - 1) * BP_CB:]).astype(jnp.int32)
@@ -618,15 +628,15 @@ def bp_decode_condense(words2d: jax.Array, offsets: jax.Array,
         in_specs=[
             pl.BlockSpec((_META_ROWS, 128), lambda i: (i // _META_ROWS, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((BP_CB, 16, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((BP_CB, BP_R, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((BP_CB, 32, 16, 128), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((BP_CB, 32, BP_R, 128), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nc, 32, 16, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nc, 32, BP_R, 128), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((BP_CB, 32, 16, 128), jnp.uint32),
+            pltpu.VMEM((BP_CB, 32, BP_R, 128), jnp.uint32),
             pltpu.SemaphoreType.DMA((BP_CB,)),
         ],
     )(meta, e_b, words4)

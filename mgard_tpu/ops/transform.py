@@ -266,7 +266,7 @@ def _prolong_all(hier: Hierarchy, C, l: int):
 # (verified on hardware), so the dense-matmul formulation replaces the
 # interior-pad/concat interleaves that XLA refuses to fuse (they cost
 # ~10 GB of HBM pad traffic per 512^3 encode).
-_MATMUL_MAX_N = 4096
+_MATMUL_MAX_N = int(os.environ.get("MGARD_TPU_MATMUL_MAX_N", "4096"))
 _SOLVER = os.environ.get("MGARD_TPU_SOLVER", "matmul")
 # MXU passes per f32 matmul: HIGHEST = 6x bf16 (bit-exact f32), HIGH =
 # 3x bf16.  Measured on hardware: HIGH is NOT bit-exact even for 0/1

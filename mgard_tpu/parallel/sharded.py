@@ -37,6 +37,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Config, ErrorMode, Lossless
+from ..ops import bitplane
 from ..models.compressor import get_compressor
 
 __all__ = ["ShardedCompressor"]
@@ -258,6 +259,7 @@ class ShardedCompressor:
                     if cfg.decomposition == Decomposition.HYBRID
                     else int(cfg.decomposition))
         header = fmt.Header(
+        chunk_groups=bitplane.CHUNK_GROUPS,
             dtype=self.dtype, shape=self.global_shape,
             uniform=coords is None,
             coordinates=None if coords is None else [
