@@ -50,6 +50,8 @@ _SLOW_TESTS = {
     "test_roi.py::test_roi_tight_inside_loose_outside",
     "test_roi.py::test_roi_3d_runs",
     "test_parallel.py::test_sharded_roundtrip_8_devices",
+    "test_unstructured.py::test_surface_mesh_basic_properties",
+    "test_unstructured.py::test_surface_mesh_compress_bound",
     "test_parallel.py::test_graft_dryrun_multichip",
     "test_reference_oracle.py",
     "test_huffman_parity.py",

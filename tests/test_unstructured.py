@@ -155,3 +155,70 @@ def test_msh_loader_and_golden_coefficients():
     rel = np.abs(mc - mc_g) / np.maximum(np.abs(mc_g), 1e-12)
     assert np.median(rel) < 1e-6
     assert np.quantile(rel, 0.95) < 1e-3, np.quantile(rel, 0.95)
+
+
+@pytest.mark.parametrize("fixture", ["pyramid.msh", "hexahedron.msh"])
+def test_surface_mesh_basic_properties(fixture):
+    """The reference's pyramid / hexahedron fixtures
+    (tests/src/unstructured/test_UniformMeshHierarchy.cpp:28-100 'basic
+    properties'): pyramid.msh is a triangulated surface embedded in R^3,
+    hexahedron.msh a two-tet volume mesh; for both, affine functions of
+    (x, y, z) decompose to zero details, recompose inverts decompose in
+    both compositions, and the transform is linear."""
+    import pathlib
+
+    from mgard_tpu.unstructured.mesh import load_msh
+
+    path = pathlib.Path("/root/reference/tests/meshes") / fixture
+    if not path.exists():
+        pytest.skip("reference mesh fixtures unavailable")
+    root = load_msh(path)
+    assert root.nodes.shape[1] == 3  # embedded in R^3
+    assert root.dim == (2 if fixture == "pyramid.msh" else 3)
+    hier = UniformMeshHierarchy(root, 2)
+    fine = hier.meshes[-1]
+
+    # refinement preserves total surface area and coarse node indices
+    np.testing.assert_allclose(fine.measures.sum(), root.measures.sum(),
+                               rtol=1e-12)
+    np.testing.assert_array_equal(fine.nodes[:root.ndof], root.nodes)
+
+    # zero detail coefficients for a linear function of the coordinates
+    x, y, z = fine.nodes[:, 0], fine.nodes[:, 1], fine.nodes[:, 2]
+    u = 5.0 * x - 3.0 * y + 2.0 * z
+    coeffs = np.asarray(hier.decompose(u))
+    assert np.max(np.abs(coeffs[hier.ndof(0):])) < 1e-6
+
+    rng = np.random.default_rng(11)
+    v = rng.uniform(-1.0, 1.0, fine.ndof)
+    # recompose inverts decompose (and vice versa)
+    np.testing.assert_allclose(
+        np.asarray(hier.recompose(hier.decompose(v))), v, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(hier.decompose(hier.recompose(v))), v, atol=1e-9)
+    # linearity: T(alpha u + v) == alpha T(u) + T(v)
+    alpha = 0.731
+    lhs = np.asarray(hier.decompose(alpha * u + v))
+    rhs = alpha * np.asarray(hier.decompose(u)) \
+        + np.asarray(hier.decompose(v))
+    np.testing.assert_allclose(lhs, rhs, atol=1e-9)
+
+
+@pytest.mark.parametrize("fixture", ["pyramid.msh", "hexahedron.msh"])
+def test_surface_mesh_compress_bound(fixture):
+    """s-norm-bounded compression end-to-end on the surface fixtures."""
+    import pathlib
+
+    from mgard_tpu.unstructured.mesh import load_msh
+
+    path = pathlib.Path("/root/reference/tests/meshes") / fixture
+    if not path.exists():
+        pytest.skip("reference mesh fixtures unavailable")
+    hier = UniformMeshHierarchy(load_msh(path), 2)
+    rng = np.random.default_rng(5)
+    u = rng.uniform(-1.0, 1.0, hier.ndof())
+    for s, tol in ((0.0, 0.5), (0.25, 0.25)):
+        buf = compress(hier, u, s=s, tolerance=tol)
+        out = decompress(hier, buf)
+        err = hier.norm(u - out, s)
+        assert err <= tol, (fixture, s, err, tol)
