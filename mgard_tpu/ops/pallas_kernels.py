@@ -33,13 +33,15 @@ _BP_SHIFTS = [16, 8, 4, 2, 1]
 # Chunks per grid step.
 # With 2048-group chunks, 4 chunks per step keeps double-buffered in
 # tiles + planes scratch + temps within VMEM (each (4, 32, BP_R, 128) u32
-# buffer is 1 MB).  BP_CB and BP_W are seeded from the autotune table /
-# env before this module imports (utils/autotune.py) — the reference
-# analog of the AutoTuner's per-kernel block-size tables
+# buffer is 1 MB).  BP_CB and BP_W mirror ops/bitplane.py's env-seeded
+# CHUNK_TILE / CHUNK_GROUPS (utils/autotune.py seeds the env before the
+# ops modules import) — imported from there rather than re-read from the
+# env so a late first import of this module under a mutated environment
+# cannot diverge from the stream layout bitplane already committed to.
+# Reference analog: the AutoTuner's per-kernel block-size tables
 # (include/mgard-x/RuntimeX/AutoTuners/AutoTuner.h:46-120).
-import os as _os
+from .bitplane import CHUNK_TILE as BP_CB
 
-BP_CB = int(_os.environ.get("MGARD_TPU_BP_CB", "4"))
 assert 1 <= BP_CB <= 8, "MGARD_TPU_BP_CB must be in [1, 8]"
 
 
@@ -144,7 +146,7 @@ def bp_encode_core(qc: jax.Array):
 # so it needs no switch at all.
 
 _META_ROWS = 8         # SMEM block sublane quantum
-BP_W = int(_os.environ.get("MGARD_TPU_CHUNK_GROUPS", "2048"))
+from .bitplane import CHUNK_GROUPS as BP_W  # noqa: E402
 #                      == bitplane.CHUNK_GROUPS; one plane = BP_R x (8,128)
 assert BP_W % 128 == 0 and BP_W > 0, \
     "MGARD_TPU_CHUNK_GROUPS must be a positive multiple of 128"

@@ -41,6 +41,9 @@ _SLOW_TESTS = {
     "test_compress_e2e.py::test_snorm_bound",
     "test_compress_e2e.py::test_nonuniform_grid_bound",
     "test_multiblock.py::test_multiblock_snorm_budget_split",
+    "test_multiblock.py::test_block_nd_decomposition_roundtrip",
+    "test_multiblock.py::test_block_nd_nonuniform_coords",
+    "test_multiblock.py::test_variable_domain_decomposition",
     "test_multiblock.py::test_multiblock_linf_bound",
     "test_multiblock.py::test_multiblock_rel_mode",
     "test_zfp.py::test_rate_controls_size_and_error",
