@@ -5,7 +5,7 @@ src/mgard-x/Executables/mgard-x.cpp:336-411).
 Usage:
     python -m mgard_tpu compress   -i in.bin -o out.mgardtpu \
         --shape 512 512 512 --dtype float32 --tolerance 1e-3 [--smoothness S]
-        [--mode abs|rel] [--lossless bitplane|bitplane-zstd]
+        [--mode abs|rel] [--lossless bitplane|bitplane-zstd|bitplane-lz4]
     python -m mgard_tpu decompress -i in.mgardtpu -o out.bin
     python -m mgard_tpu inspect    -i in.mgardtpu
 """
@@ -34,7 +34,8 @@ def _build_parser():
                    help="s-norm parameter; inf = L-infinity (default)")
     c.add_argument("--mode", "-m", choices=["abs", "rel"], default="abs")
     c.add_argument("--lossless", "-l",
-                   choices=["bitplane", "bitplane-zstd"], default="bitplane")
+                   choices=["bitplane", "bitplane-zstd", "bitplane-lz4"],
+                   default="bitplane")
     c.add_argument("--format", choices=["native", "mgard", "mgard-x"],
                    default="native",
                    help="container format: native .mgardtpu (default), "
@@ -122,9 +123,10 @@ def main(argv=None):
                     sys.exit("error: mgard-x format supports L-inf only")
                 buf = mgard_compat.compress_mgard_x(data, tol)
         else:
-            lossless = (Lossless.BITPLANE_ZSTD
-                        if args.lossless == "bitplane-zstd"
-                        else Lossless.BITPLANE)
+            lossless = {"bitplane": Lossless.BITPLANE,
+                        "bitplane-zstd": Lossless.BITPLANE_ZSTD,
+                        "bitplane-lz4": Lossless.BITPLANE_LZ4,
+                        }[args.lossless]
             buf = mgard_tpu.compress(data, args.tolerance,
                                      s=args.smoothness, mode=args.mode,
                                      config=Config(lossless=lossless))

@@ -16,6 +16,33 @@ class Lossless(enum.IntEnum):
     NONE = 4            # raw quantized int32 stream
     BITPLANE_GROUP = 5  # per-32-value-group exponents (best on-chip ratio)
     BITPLANE_GROUP_ZSTD = 6  # per-group + host zstd second stage
+    BITPLANE_LZ4 = 7    # chunked bitplane + host LZ4 second stage
+    #                     (reference Lossless::Huffman_LZ4 analog,
+    #                     include/mgard-x/Lossless/LZ4.hpp:7-9)
+    BITPLANE_GROUP_LZ4 = 8   # per-group + host LZ4 second stage
+
+    @property
+    def grouped(self) -> bool:
+        """Per-32-value-group exponent variants."""
+        return self in (Lossless.BITPLANE_GROUP,
+                        Lossless.BITPLANE_GROUP_ZSTD,
+                        Lossless.BITPLANE_GROUP_LZ4)
+
+    @property
+    def chunked(self) -> bool:
+        """Per-chunk exponent variants (PYRAMID_SEG-capable)."""
+        return self in (Lossless.BITPLANE, Lossless.BITPLANE_ZSTD,
+                        Lossless.BITPLANE_LZ4)
+
+    @property
+    def second_stage(self):
+        """Host second-stage codec applied to the bitplane sections:
+        'zstd', 'lz4', or None."""
+        if self in (Lossless.BITPLANE_ZSTD, Lossless.BITPLANE_GROUP_ZSTD):
+            return "zstd"
+        if self in (Lossless.BITPLANE_LZ4, Lossless.BITPLANE_GROUP_LZ4):
+            return "lz4"
+        return None
 
 
 class Decomposition(enum.IntEnum):

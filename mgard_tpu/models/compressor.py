@@ -71,6 +71,8 @@ class Compressor:
                 lossless = Lossless.BITPLANE_GROUP
             elif lossless == Lossless.BITPLANE_ZSTD:
                 lossless = Lossless.BITPLANE_GROUP_ZSTD
+            elif lossless == Lossless.BITPLANE_LZ4:
+                lossless = Lossless.BITPLANE_GROUP_LZ4
         if self.dtype == np.dtype(np.float64):
             # f64 rides the wide (64-bitplane) chunked codec
             # (bitplane.encode64) — per-chunk exponents only.
@@ -78,6 +80,8 @@ class Compressor:
                 lossless = Lossless.BITPLANE
             elif lossless == Lossless.BITPLANE_GROUP_ZSTD:
                 lossless = Lossless.BITPLANE_ZSTD
+            elif lossless == Lossless.BITPLANE_GROUP_LZ4:
+                lossless = Lossless.BITPLANE_LZ4
         self.lossless = lossless
         # Hybrid decomposition: block-local levels on a packed coarse
         # hierarchy (reference HybridHierarchyCompressor.h:31-86).
@@ -99,8 +103,7 @@ class Compressor:
             self.config.decomposition == Decomposition.MULTIDIM
             and self.config.layout == Layout.PYRAMID_SEG
             and self.dtype == np.dtype(np.float32))
-        self._segmented = self._seg_capable and lossless in (
-            Lossless.BITPLANE, Lossless.BITPLANE_ZSTD)
+        self._segmented = self._seg_capable and lossless.chunked
         self._seg_sizes = tuple(
             int(np.prod(hier.shapes[l])) for l in range(hier.L + 1))
         if self.config.decomposition == Decomposition.HYBRID:
@@ -121,8 +124,7 @@ class Compressor:
             self._hybrid_vols = th.hybrid_volume_weights(
                 hier.shape, self._hybrid_k, coords)
             self._nstream = th.hybrid_stream_size(hier.shape, self._hybrid_k)
-        grouped = lossless in (Lossless.BITPLANE_GROUP,
-                               Lossless.BITPLANE_GROUP_ZSTD)
+        grouped = lossless.grouped
         self._encode = jax.jit(functools.partial(self._encode_impl,
                                                  grouped=grouped))
         self._decode = self._decode_fn(grouped, self._segmented)
@@ -314,15 +316,13 @@ class Compressor:
         """The pure (unjitted) device encode pipeline ``(v, tol) ->
         (exponents, words, count, status)`` for composition under
         shard_map/vmap (parallel/sharded.py)."""
-        grouped = self.lossless in (Lossless.BITPLANE_GROUP,
-                                    Lossless.BITPLANE_GROUP_ZSTD)
+        grouped = self.lossless.grouped
         return functools.partial(self._encode_impl, grouped=grouped)
 
     def device_decode_fn(self):
         """The pure (unjitted) device decode pipeline ``(exponents,
         words, tol) -> array``."""
-        grouped = self.lossless in (Lossless.BITPLANE_GROUP,
-                                    Lossless.BITPLANE_GROUP_ZSTD)
+        grouped = self.lossless.grouped
         return self._decode_impl_fn(grouped, self._segmented)
 
     @functools.lru_cache(maxsize=4)
@@ -429,12 +429,16 @@ class Compressor:
         exp_np = exp_np[:int(nz[-1]) + 1] if len(nz) else exp_np[:0]
         exp_bytes = exp_np.tobytes()
         word_bytes = words_np.astype("<u4").tobytes()
-        if self.lossless in (Lossless.BITPLANE_ZSTD,
-                             Lossless.BITPLANE_GROUP_ZSTD):
+        stage = self.lossless.second_stage
+        if stage == "zstd":
             import zstandard
             cctx = zstandard.ZstdCompressor(level=self.config.zstd_level)
             exp_bytes = cctx.compress(exp_bytes)
             word_bytes = cctx.compress(word_bytes)
+        elif stage == "lz4":
+            from ..io.lz4_native import lz4_compress
+            exp_bytes = lz4_compress(exp_bytes)
+            word_bytes = lz4_compress(word_bytes)
         return [exp_bytes, word_bytes]
 
     def compress(self, v, tolerance: float,
@@ -554,10 +558,9 @@ class Compressor:
             return self._decode_raw(jnp.asarray(flat_np), header.tolerance)
         exp_bytes, word_bytes = sections[0], sections[1]
         ndof = self._nstream
-        grouped = header.lossless in (int(Lossless.BITPLANE_GROUP),
-                                      int(Lossless.BITPLANE_GROUP_ZSTD))
-        segmented = self._seg_capable and header.lossless in (
-            int(Lossless.BITPLANE), int(Lossless.BITPLANE_ZSTD))
+        hls = Lossless(header.lossless)
+        grouped = hls.grouped
+        segmented = self._seg_capable and hls.chunked
         if segmented:
             n_exp = sum(bitplane.num_chunks_tiled(sz)
                         for sz in self._seg_sizes)
@@ -572,12 +575,19 @@ class Compressor:
         else:
             n_exp = bitplane.num_chunks_tiled(ndof)
             cap = bitplane.max_words(ndof)
-        if header.lossless in (int(Lossless.BITPLANE_ZSTD),
-                               int(Lossless.BITPLANE_GROUP_ZSTD)):
+        stage = hls.second_stage
+        if stage == "zstd":
             import zstandard
             dctx = zstandard.ZstdDecompressor()
             exp_bytes = dctx.decompress(exp_bytes, max_output_size=n_exp)
             word_bytes = dctx.decompress(word_bytes, max_output_size=4 * cap)
+        elif stage == "lz4":
+            from ..io.lz4_native import lz4_decompress
+            exp_bytes = lz4_decompress(exp_bytes)
+            word_bytes = lz4_decompress(word_bytes)
+            if len(exp_bytes) > n_exp or len(word_bytes) > 4 * cap:
+                raise ValueError("LZ4 payload larger than the stream "
+                                 "capacity the header implies")
         exponents = np.zeros(n_exp, dtype=np.uint8)
         stored_exp = np.frombuffer(exp_bytes, dtype=np.uint8)
         exponents[:len(stored_exp)] = stored_exp
