@@ -61,6 +61,35 @@ def test_gpk_roundtrip_nonuniform():
     assert float(jnp.max(jnp.abs(A2 - A))) < 1e-5 * scale
 
 
+@pytest.mark.parametrize("shape", [(8, 256, 128), (16, 128, 256),
+                                   (32, 256, 128)])
+def test_fused_detail_bit_identical_to_two_pass(shape):
+    """The fused single-pass encode kernel must reproduce the two-pass
+    form (B20 then B1-sub through an HBM intermediate) bit for bit —
+    the decode side inverts the same lerp expressions."""
+    hier, A = _mk(shape, seed=4)
+    L = hier.L
+    v0 = sk._run_b20(A, hier, L, interpret=True)
+    two = sk._run_b1sub(v0, A, hier, L, interpret=True)
+    fused = sk._run_fused_detail(A, hier, L, interpret=True)
+    assert np.array_equal(np.asarray(two), np.asarray(fused))
+
+
+@pytest.mark.parametrize("shape", [(8, 256, 128), (16, 128, 256),
+                                   (32, 256, 128)])
+def test_fused_prolong_add_bit_identical_to_two_pass(shape):
+    hier, A = _mk(shape, seed=5)
+    L = hier.L
+    C = transform._extract_old_all(hier, A, L)
+    detail = sk.gpk_detail(hier, A, L, interpret=True)
+    c2 = sk._embed2(C, hier, L)
+    v0 = sk._run_dec_b20(c2, hier, L, interpret=True)
+    two = sk._run_dec_b1add(v0, detail, hier, L, interpret=True)
+    fused = sk._run_fused_prolong_add(c2, detail, hier, L,
+                                      interpret=True)
+    assert np.array_equal(np.asarray(two), np.asarray(fused))
+
+
 def test_gpk_supported_predicate():
     # 2^k cube: supported for encode and decode at the finest level
     h = Hierarchy((8, 256, 128))
