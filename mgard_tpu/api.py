@@ -290,7 +290,9 @@ def _compress_multiblock(arr, tolerance, s, emode, coordinates, cfg,
                 if cfg.decomposition == Decomposition.HYBRID
                 else int(cfg.decomposition))
     header = fmt.Header(
-        chunk_groups=bitplane.CHUNK_GROUPS,
+        chunk_groups=(bitplane.WIDE_CHUNK_GROUPS
+                      if arr.dtype == np.dtype(np.float64)
+                      else bitplane.CHUNK_GROUPS),
         dtype=arr.dtype, shape=arr.shape,
         uniform=coordinates is None,
         coordinates=None if coordinates is None else [
@@ -386,7 +388,9 @@ def _compress_blocknd(arr, tolerance, s, emode, coordinates, cfg, grid):
                 if cfg.decomposition == Decomposition.HYBRID
                 else int(cfg.decomposition))
     header = fmt.Header(
-        chunk_groups=bitplane.CHUNK_GROUPS,
+        chunk_groups=(bitplane.WIDE_CHUNK_GROUPS
+                      if arr.dtype == np.dtype(np.float64)
+                      else bitplane.CHUNK_GROUPS),
         dtype=arr.dtype, shape=arr.shape,
         uniform=coordinates is None,
         coordinates=None if coordinates is None else [
@@ -506,11 +510,15 @@ def decompress(buf: bytes) -> np.ndarray:
         return mgard_compat.decompress_mgard(buf)
     header, sections = fmt.read_container(buf)
     enc_cg = header.chunk_groups or 2048
-    if enc_cg != bitplane.CHUNK_GROUPS:
+    wide = header.dtype == np.dtype(np.float64)
+    expect = bitplane.WIDE_CHUNK_GROUPS if wide else bitplane.CHUNK_GROUPS
+    if enc_cg != expect:
+        knob = ("MGARD_TPU_WIDE_CHUNK_GROUPS" if wide
+                else "MGARD_TPU_CHUNK_GROUPS")
         raise ValueError(
             f"container was encoded with chunk_groups={enc_cg} but this "
-            f"process runs with {bitplane.CHUNK_GROUPS}; set "
-            f"MGARD_TPU_CHUNK_GROUPS={enc_cg} before importing mgard_tpu")
+            f"process runs with {expect}; set "
+            f"{knob}={enc_cg} before importing mgard_tpu")
     if header.dd_grid is not None:
         out = _decompress_blocknd(header, sections)
     elif header.dd_nblocks:

@@ -456,7 +456,8 @@ class Compressor:
             sections = self.finalize_sections(self.encode_async(v, abs_tol))
 
         header = fmt.Header(
-        chunk_groups=bitplane.CHUNK_GROUPS,
+            chunk_groups=(bitplane.WIDE_CHUNK_GROUPS if self._wide()
+                          else bitplane.CHUNK_GROUPS),
             dtype=self.dtype, shape=self.hier.shape,
             uniform=self.hier.uniform,
             coordinates=None if self.hier.uniform else self.hier.coordinates,
@@ -570,7 +571,7 @@ class Compressor:
             n_exp = bitplane.num_chunks(ndof) * bitplane.CHUNK_GROUPS
             cap = bitplane.max_words(ndof)
         elif self._wide():
-            n_exp = bitplane.num_chunks_tiled(ndof)
+            n_exp = bitplane.num_chunks64_tiled(ndof)
             cap = bitplane.max_words64(ndof)
         else:
             n_exp = bitplane.num_chunks_tiled(ndof)

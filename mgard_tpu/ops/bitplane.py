@@ -63,9 +63,12 @@ GROUP = 32          # values per group == bits per word
 # groups per chunk == words per emitted plane row.  Seeded from the
 # autotune table / env before import (utils/autotune.py); the stream
 # layout depends on it, so containers record it in their header and
-# decode verifies the match.
+# decode verifies the match.  Default 4096 from the round-4 hardware
+# sweep at 512^3 f32 (utils/autotune.py sweep_knobs; BASELINE.md):
+# 1024 -> 18.8, 2048 -> 19.6, 4096 -> 20.5 GB/s e2e at a 0.6% ratio
+# cost (fewer, larger per-chunk DMAs on the dispatch-bound condense).
 CHUNK_GROUPS = int(__import__("os").environ.get(
-    "MGARD_TPU_CHUNK_GROUPS", "2048"))
+    "MGARD_TPU_CHUNK_GROUPS", "4096"))
 #                     Sized so (a) the fused kernels, which are
 #                     DMA-dispatch-bound (~0.3 us per chunk), issue few,
 #                     large transfers, and (b) one bitplane of one chunk
@@ -207,9 +210,27 @@ def _from_rows(sign: jax.Array, planes: jax.Array, n: int) -> jax.Array:
 # Chunked codec (default): per-chunk exponents, 128-word aligned rows
 # ---------------------------------------------------------------------------
 
+# The wide (f64 / 64-bitplane) codec keeps its own chunk width: it is
+# a pure-XLA path (no Pallas condense, so no DMA-dispatch pressure from
+# narrower chunks), and a wide chunk costs `e * width` words even when
+# the domain is far smaller than one chunk — at the f32-tuned 4096
+# groups a 33^3 f64 array pays 4x padding.  2048 preserves the
+# pre-sweep wide-stream geometry byte for byte.
+WIDE_CHUNK_GROUPS = int(__import__("os").environ.get(
+    "MGARD_TPU_WIDE_CHUNK_GROUPS", "2048"))
+
+
+def num_chunks64(n: int) -> int:
+    return -(-(-(-n // GROUP)) // WIDE_CHUNK_GROUPS)
+
+
+def num_chunks64_tiled(n: int) -> int:
+    return -(-num_chunks64(n) // CHUNK_TILE) * CHUNK_TILE
+
+
 def max_words64(n: int) -> int:
     """Word-buffer capacity for the wide (64-bit) codec."""
-    return num_chunks_tiled(n) * CHUNK_GROUPS * (2 * GROUP + 1)
+    return num_chunks64_tiled(n) * WIDE_CHUNK_GROUPS * (2 * GROUP + 1)
 
 
 def _bit_length64(x: jax.Array) -> jax.Array:
@@ -238,9 +259,9 @@ def encode64(q: jax.Array):
     Returns ``(chunk_exponents uint8, words uint32 (cap,), count)``.
     """
     n = q.shape[0]
-    C = CHUNK_GROUPS
+    C = WIDE_CHUNK_GROUPS
     vals_per_chunk = GROUP * C
-    nchunks = num_chunks_tiled(n)
+    nchunks = num_chunks64_tiled(n)
     pad = nchunks * vals_per_chunk - n
     if pad:
         q = jnp.concatenate([q, jnp.zeros(pad, dtype=q.dtype)])
@@ -269,7 +290,7 @@ def encode64(q: jax.Array):
 def decode64(exponents: jax.Array, words: jax.Array, n: int) -> jax.Array:
     """Inverse of :func:`encode64`; returns int64 of length ``n``."""
     nchunks = exponents.shape[0]
-    C = CHUNK_GROUPS
+    C = WIDE_CHUNK_GROUPS
     e = exponents.astype(jnp.int32)
     ends = jnp.cumsum(e)
     offsets = (ends - e).astype(jnp.int32)

@@ -31,9 +31,9 @@ _BP_MASKS = [np.uint32(0x0000FFFF), np.uint32(0x00FF00FF),
              np.uint32(0x55555555)]
 _BP_SHIFTS = [16, 8, 4, 2, 1]
 # Chunks per grid step.
-# With 2048-group chunks, 4 chunks per step keeps double-buffered in
+# With 4096-group chunks, 4 chunks per step keeps double-buffered in
 # tiles + planes scratch + temps within VMEM (each (4, 32, BP_R, 128) u32
-# buffer is 1 MB).  BP_CB and BP_W mirror ops/bitplane.py's env-seeded
+# buffer is 2 MB; 8 chunks per step OOMs Mosaic's scoped budget).  BP_CB and BP_W mirror ops/bitplane.py's env-seeded
 # CHUNK_TILE / CHUNK_GROUPS (utils/autotune.py seeds the env before the
 # ops modules import) — imported from there rather than re-read from the
 # env so a late first import of this module under a mutated environment

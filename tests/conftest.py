@@ -1,5 +1,11 @@
 import os
 
+# Hermetic runs: ignore any machine-local autotune table (it seeds
+# layout-shaping env knobs at import, and a tuned table written by a
+# hardware sweep on this machine would silently change what the suite
+# tests).  User-exported env knobs still apply.
+os.environ.setdefault("MGARD_TPU_AUTOTUNE", "/nonexistent/autotune.json")
+
 # Tests run on a virtual 8-device CPU mesh so sharding paths are exercised
 # without TPU hardware.  XLA_FLAGS must be set before backends initialize.
 flags = os.environ.get("XLA_FLAGS", "")

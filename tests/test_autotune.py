@@ -49,9 +49,9 @@ def test_config_tuned_falls_back_to_defaults():
 
 
 def test_container_records_chunk_groups():
-    """The stream layout depends on CHUNK_GROUPS; containers written at
-    the default carry chunk_groups in {0, 2048} and decode everywhere,
-    and the header field round-trips when nonstandard."""
+    """The stream layout depends on CHUNK_GROUPS; containers record the
+    width in the header (2048 is the implicit on-wire value when the
+    field is absent), and the header field round-trips."""
     import dataclasses
 
     import mgard_tpu
