@@ -510,7 +510,11 @@ def decompress(buf: bytes) -> np.ndarray:
         return mgard_compat.decompress_mgard(buf)
     header, sections = fmt.read_container(buf)
     enc_cg = header.chunk_groups or 2048
-    wide = header.dtype == np.dtype(np.float64)
+    # The wide (64-bitplane) codec and its own chunk width apply to f64
+    # device streams only; ROI containers quantize to int32 and ride
+    # the grouped f32-width codec regardless of dtype.
+    is_roi = bool(header.roi_block)   # 0 = not an ROI container
+    wide = header.dtype == np.dtype(np.float64) and not is_roi
     expect = bitplane.WIDE_CHUNK_GROUPS if wide else bitplane.CHUNK_GROUPS
     if enc_cg != expect:
         knob = ("MGARD_TPU_WIDE_CHUNK_GROUPS" if wide

@@ -82,10 +82,14 @@ class ShardedCompressor:
                                        Lossless.NONE)
         self._host_codec = host_codec
 
+        # check_vma=False: the fused Pallas codec kernels run inside the
+        # per-device body, and pallas_call outputs carry no varying-mesh
+        # annotation for shard_map's vma checker to consume.
         @functools.partial(
             jax.shard_map, mesh=mesh,
             in_specs=(spec_in, P()),
             out_specs=(P(axis, None), P(axis, None), P(axis), P(axis)),
+            check_vma=False,
         )
         def _enc(vb, tol):
             if vb.shape[0] == 1:
@@ -97,7 +101,7 @@ class ShardedCompressor:
         @functools.partial(
             jax.shard_map, mesh=mesh,
             in_specs=(P(axis, None), P(axis, None), P()),
-            out_specs=spec_in,
+            out_specs=spec_in, check_vma=False,
         )
         def _dec(e, w, tol):
             if e.shape[0] == 1:

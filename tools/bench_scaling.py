@@ -54,7 +54,13 @@ from jax.sharding import Mesh  # noqa: E402
 
 from mgard_tpu.parallel.sharded import ShardedCompressor  # noqa: E402
 
-EDGE = 64
+# Per-device block edge.  The virtual CPU mesh keeps blocks small (the
+# emulated backend only measures relative curve shape); the real-chip
+# absolute point uses a block big enough that fixed dispatch/sync
+# latency through the tunnel does not dominate (a 64^3 block is 1 MB —
+# pure latency floor).
+EDGE = 256 if "--tpu" in sys.argv else 64
+EDGE = int(os.environ.get("MGARD_SCALING_EDGE", EDGE))
 
 
 def field(nblocks):
