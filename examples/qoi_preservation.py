@@ -1,7 +1,13 @@
 """Quantity-of-interest preservation (counterpart of examples/qoi)."""
 
-import numpy as np
-import jax.numpy as jnp
+import jax
+
+# np.outer below yields float64; f64 compression rides the int64
+# quantization + 64-bitplane codec, which needs x64 enabled.
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 import mgard_tpu
 from mgard_tpu.hierarchy import Hierarchy
