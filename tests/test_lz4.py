@@ -111,6 +111,33 @@ def test_corrupt_detected_or_differs():
         assert out != data
 
 
+def test_lz4_multiblock_and_f64():
+    """The LZ4 stage flows through domain decomposition (one lossless
+    id pinned for the container) and the f64 wide codec (grouped ->
+    chunked adaption)."""
+    import mgard_tpu
+    from mgard_tpu.config import Config, Lossless
+
+    x = np.linspace(0, 1, 48, dtype=np.float32)
+    v = (np.sin(3 * x)[:, None, None] * np.cos(2 * x)[None, :, None]
+         * x[None, None, :]).astype(np.float32).copy()
+    cfg = Config(lossless=Lossless.BITPLANE_LZ4,
+                 max_block_bytes=v.nbytes // 3)   # force multiblock
+    buf = mgard_tpu.compress(v, 1e-3, config=cfg)
+    from mgard_tpu.io import format as fmt
+    header, _ = fmt.read_container(buf)
+    assert header.dd_nblocks > 1
+    out = mgard_tpu.decompress(buf)
+    assert np.max(np.abs(out - v)) <= 1e-3
+
+    v64 = v.astype(np.float64)
+    buf64 = mgard_tpu.compress(
+        v64, 1e-9, config=Config(lossless=Lossless.BITPLANE_GROUP_LZ4))
+    out64 = mgard_tpu.decompress(buf64)
+    assert out64.dtype == np.float64
+    assert np.max(np.abs(out64 - v64)) <= 1e-9
+
+
 @pytest.mark.parametrize("lossless_name", ["BITPLANE_LZ4",
                                            "BITPLANE_GROUP_LZ4"])
 def test_e2e_lz4_stage(lossless_name):
