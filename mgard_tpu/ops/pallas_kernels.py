@@ -147,10 +147,20 @@ def bp_encode_core(qc: jax.Array):
 
 _META_ROWS = 8         # SMEM block sublane quantum
 from .bitplane import CHUNK_GROUPS as BP_W  # noqa: E402
-#                      == bitplane.CHUNK_GROUPS; one plane = BP_R x (8,128)
+#                      the PROCESS-DEFAULT chunk width; the kernels below
+#                      derive the actual width W from their input shapes
+#                      (one plane = (W // 128) x (8,128) tiles), so a
+#                      container encoded at any width decodes in any
+#                      process (round-5 self-describability fix).
 assert BP_W % 128 == 0 and BP_W > 0, \
     "MGARD_TPU_CHUNK_GROUPS must be a positive multiple of 128"
-BP_R = BP_W // 128     # (8,128) sublane tiles per chunk bitplane row
+BP_R = BP_W // 128     # (8,128) sublane tiles per default-width plane
+
+
+def _bp_r(W: int) -> int:
+    assert W % 128 == 0 and W > 0, \
+        "chunk width must be a positive multiple of 128"
+    return W // 128
 
 
 def _pack_meta(offsets: jax.Array, ntiles: int,
@@ -227,10 +237,11 @@ def bp_encode_condense(zc: jax.Array, offsets: jax.Array,
     (tail garbage past the total row count).
     """
     nc = zc.shape[0]
+    R = _bp_r(zc.shape[2])
     assert nc % BP_CB == 0
     ntiles = nc // BP_CB
     grid = (ntiles,)
-    zc4 = zc.reshape(nc, 32, BP_R, 128)
+    zc4 = zc.reshape(nc, 32, R, 128)
     # total stream rows = last tile's base + its row count
     total = offsets[(ntiles - 1) * BP_CB] + tile_rows[-1]
     meta = _pack_meta(offsets, ntiles, total)
@@ -240,13 +251,13 @@ def bp_encode_condense(zc: jax.Array, offsets: jax.Array,
         in_specs=[
             pl.BlockSpec((_META_ROWS, 128), lambda i: (i // _META_ROWS, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((BP_CB, 32, BP_R, 128), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((BP_CB, 32, R, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((cap_rows, BP_R, 128), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((cap_rows, R, 128), jnp.uint32),
         scratch_shapes=[
-            pltpu.VMEM((BP_CB, 32, BP_R, 128), jnp.uint32),
+            pltpu.VMEM((BP_CB, 32, R, 128), jnp.uint32),
             pltpu.SemaphoreType.DMA((BP_CB,)),
         ],
     )(meta, zc4)
@@ -260,7 +271,7 @@ def bp_encode_condense(zc: jax.Array, offsets: jax.Array,
 def _bp_quant_kernel(invq_ref, x_ref, zc_ref, zmax_ref, flag_ref):
     """scale -> round-half-away -> zigzag -> per-chunk max + status.
 
-    ``x``: (CB, 32, BP_R, 128) float32 coefficients; ``invq``: scalar
+    ``x``: (CB, 32, R, 128) float32 coefficients; ``invq``: scalar
     inverse quantum (1.0 when the caller pre-scaled).  Status code per
     chunk: 2 = non-finite value (NaN/Inf input), 1 = |q| past the int32
     ceiling (tolerance too tight), matching compressor._raise_status.
@@ -298,11 +309,13 @@ def _bp_quant_kernel(invq_ref, x_ref, zc_ref, zmax_ref, flag_ref):
 
 
 def bp_quant_zigzag(xc: jax.Array, inv_q) -> tuple:
-    """(nchunks, 32, BP_W) float32 -> (zigzag chunks uint32 (same view),
+    """(nchunks, 32, W) float32 -> (zigzag chunks uint32 (same view),
     per-chunk max uint32 (nchunks,), per-chunk status int32 (nchunks,))."""
     nc = xc.shape[0]
+    W = xc.shape[2]
+    R = _bp_r(W)
     assert nc % BP_CB == 0
-    x4 = xc.reshape(nc, 32, BP_R, 128)
+    x4 = xc.reshape(nc, 32, R, 128)
     invq = jnp.asarray(inv_q, jnp.float32).reshape(1, 1)
     zc, zmax, flag = pl.pallas_call(
         _bp_quant_kernel,
@@ -310,11 +323,11 @@ def bp_quant_zigzag(xc: jax.Array, inv_q) -> tuple:
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((BP_CB, 32, BP_R, 128), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((BP_CB, 32, R, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((BP_CB, 32, BP_R, 128), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((BP_CB, 32, R, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -322,12 +335,12 @@ def bp_quant_zigzag(xc: jax.Array, inv_q) -> tuple:
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((nc, 32, BP_R, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((nc, 32, R, 128), jnp.uint32),
             jax.ShapeDtypeStruct((nc // BP_CB, 8, 128), jnp.uint32),
             jax.ShapeDtypeStruct((nc // BP_CB, 8, 128), jnp.int32),
         ),
     )(invq, x4)
-    return (zc.reshape(nc, 32, BP_W),
+    return (zc.reshape(nc, 32, W),
             zmax[:, :BP_CB, 0].reshape(nc),
             flag[:, :BP_CB, 0].reshape(nc))
 
@@ -387,27 +400,28 @@ def bp_quant_condense(xc: jax.Array, inv_q, offsets: jax.Array,
                       cap_rows: int = 0) -> jax.Array:
     """Fused quantize+zigzag+transpose+condense of one float32 segment.
 
-    ``xc``: (nchunks, 32, BP_W) float32 (nchunks % BP_CB == 0);
+    ``xc``: (nchunks, 32, W) float32 (nchunks % BP_CB == 0);
     ``offsets``: (nchunks,) int32 GLOBAL stream plane-row offsets;
     ``total_rows``: scalar int32 — one past this segment's last row.
-    With ``buf`` None allocates a fresh (cap_rows, BP_R, 128) stream
+    With ``buf`` None allocates a fresh (cap_rows, W // 128, 128) stream
     buffer (first segment); otherwise writes into ``buf`` via aliasing.
     """
     nc = xc.shape[0]
+    R = _bp_r(xc.shape[2])
     assert nc % BP_CB == 0
     ntiles = nc // BP_CB
-    x4 = xc.reshape(nc, 32, BP_R, 128)
+    x4 = xc.reshape(nc, 32, R, 128)
     meta = _pack_meta(offsets, ntiles, total_rows)
     invq = jnp.asarray(inv_q, jnp.float32).reshape(1, 1)
     scratch = [
-        pltpu.VMEM((BP_CB, 32, BP_R, 128), jnp.uint32),
+        pltpu.VMEM((BP_CB, 32, R, 128), jnp.uint32),
         pltpu.SemaphoreType.DMA((BP_CB,)),
     ]
     smem1 = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     meta_spec = pl.BlockSpec((_META_ROWS, 128),
                              lambda i: (i // _META_ROWS, 0),
                              memory_space=pltpu.SMEM)
-    x_spec = pl.BlockSpec((BP_CB, 32, BP_R, 128), lambda i: (i, 0, 0, 0),
+    x_spec = pl.BlockSpec((BP_CB, 32, R, 128), lambda i: (i, 0, 0, 0),
                           memory_space=pltpu.VMEM)
     if buf is None:
         return pl.pallas_call(
@@ -415,7 +429,7 @@ def bp_quant_condense(xc: jax.Array, inv_q, offsets: jax.Array,
             grid=(ntiles,),
             in_specs=[smem1, meta_spec, x_spec],
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-            out_shape=jax.ShapeDtypeStruct((cap_rows, BP_R, 128), jnp.uint32),
+            out_shape=jax.ShapeDtypeStruct((cap_rows, R, 128), jnp.uint32),
             scratch_shapes=scratch,
         )(invq, meta, x4)
     return pl.pallas_call(
@@ -457,12 +471,13 @@ def _bp_quant_max_kernel(invq_ref, x_ref, zmax_ref, flag_ref):
 
 
 def bp_quant_max(xc: jax.Array, inv_q) -> tuple:
-    """(nchunks, 32, BP_W) float32 -> (per-chunk zigzag max uint32
+    """(nchunks, 32, W) float32 -> (per-chunk zigzag max uint32
     (nchunks,), per-chunk status int32 (nchunks,)) without materializing
     the zigzag chunks."""
     nc = xc.shape[0]
+    R = _bp_r(xc.shape[2])
     assert nc % BP_CB == 0
-    x4 = xc.reshape(nc, 32, BP_R, 128)
+    x4 = xc.reshape(nc, 32, R, 128)
     invq = jnp.asarray(inv_q, jnp.float32).reshape(1, 1)
     zmax, flag = pl.pallas_call(
         _bp_quant_max_kernel,
@@ -470,7 +485,7 @@ def bp_quant_max(xc: jax.Array, inv_q) -> tuple:
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((BP_CB, 32, BP_R, 128), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((BP_CB, 32, R, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -491,17 +506,18 @@ def bp_condense_into(zc: jax.Array, offsets: jax.Array,
                      total_rows: jax.Array, buf: jax.Array) -> jax.Array:
     """Condense one segment's chunks into a SHARED stream buffer.
 
-    ``zc``: (nchunks, 32, BP_W) uint32 zigzag chunks (nchunks % BP_CB
+    ``zc``: (nchunks, 32, W) uint32 zigzag chunks (nchunks % BP_CB
     == 0); ``offsets``: (nchunks,) int32 GLOBAL plane-row offsets;
     ``total_rows``: scalar int32 — the stream row offset one past this
-    segment's last chunk; ``buf``: (cap_rows, BP_R, 128) uint32 stream
-    buffer, ALIASED to the output (chained across segments with no
-    copies — the reference serializes per-subdomain streams into one
+    segment's last chunk; ``buf``: (cap_rows, W // 128, 128) uint32
+    stream buffer, ALIASED to the output (chained across segments with
+    no copies — the reference serializes per-subdomain streams into one
     buffer the same way, Compressor.hpp Serialize)."""
     nc = zc.shape[0]
+    R = _bp_r(zc.shape[2])
     assert nc % BP_CB == 0
     ntiles = nc // BP_CB
-    zc4 = zc.reshape(nc, 32, BP_R, 128)
+    zc4 = zc.reshape(nc, 32, R, 128)
     meta = _pack_meta(offsets, ntiles, total_rows)
     return pl.pallas_call(
         _bp_condense_into_kernel,
@@ -509,14 +525,14 @@ def bp_condense_into(zc: jax.Array, offsets: jax.Array,
         in_specs=[
             pl.BlockSpec((_META_ROWS, 128), lambda i: (i // _META_ROWS, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((BP_CB, 32, BP_R, 128), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((BP_CB, 32, R, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct(buf.shape, jnp.uint32),
         scratch_shapes=[
-            pltpu.VMEM((BP_CB, 32, BP_R, 128), jnp.uint32),
+            pltpu.VMEM((BP_CB, 32, R, 128), jnp.uint32),
             pltpu.SemaphoreType.DMA((BP_CB,)),
         ],
         input_output_aliases={2: 0},
@@ -527,8 +543,8 @@ def _bp_dec_condense_f32_kernel(q_ref, meta_ref, e_ref, words_ref, out_ref,
                                 planes_ref, sems):
     _dec_dma_loop(meta_ref, planes_ref, words_ref, sems, 'start')
     _dec_dma_loop(meta_ref, planes_ref, words_ref, sems, 'wait')
-    e = e_ref[:]                                   # (CB, BP_R, 128) int32
-    b_idx = jax.lax.broadcasted_iota(jnp.int32, (BP_CB, 32, BP_R, 128), 1)
+    e = e_ref[:]                                   # (CB, R, 128) int32
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, planes_ref.shape, 1)
     planes = jnp.where(b_idx < e[:, None], planes_ref[:], np.uint32(0))
     rows = _butterfly_rows([planes[:, i] for i in range(32)])
     z = jnp.stack(rows, axis=1).astype(jnp.int32)
@@ -541,11 +557,13 @@ def bp_decode_condense_f32(words2d: jax.Array, offsets: jax.Array,
     """Like :func:`bp_decode_condense` but fuses the dequantize multiply
     (uniform scalar quantum) into the kernel, returning float32."""
     nc = offsets.shape[0]
+    W = words2d.shape[1]
+    R = _bp_r(W)
     assert nc % BP_CB == 0
     ntiles = nc // BP_CB
     cap_rows = words2d.shape[0]
-    words4 = words2d.reshape(cap_rows, BP_R, 128)
-    e_b = jnp.broadcast_to(e[:, None, None], (nc, BP_R, 128)).astype(jnp.int32)
+    words4 = words2d.reshape(cap_rows, R, 128)
+    e_b = jnp.broadcast_to(e[:, None, None], (nc, R, 128)).astype(jnp.int32)
     total = offsets[(ntiles - 1) * BP_CB] \
         + jnp.sum(e[(ntiles - 1) * BP_CB:]).astype(jnp.int32)
     meta = _pack_meta(offsets, ntiles, total)
@@ -558,19 +576,19 @@ def bp_decode_condense_f32(words2d: jax.Array, offsets: jax.Array,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((_META_ROWS, 128), lambda i: (i // _META_ROWS, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((BP_CB, BP_R, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((BP_CB, R, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((BP_CB, 32, BP_R, 128), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((BP_CB, 32, R, 128), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nc, 32, BP_R, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nc, 32, R, 128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((BP_CB, 32, BP_R, 128), jnp.uint32),
+            pltpu.VMEM((BP_CB, 32, R, 128), jnp.uint32),
             pltpu.SemaphoreType.DMA((BP_CB,)),
         ],
     )(q, meta, e_b, words4)
-    return out.reshape(nc, 32, BP_W)
+    return out.reshape(nc, 32, W)
 
 
 def _dec_dma_loop(meta_ref, planes_ref, words_ref, sems,
@@ -598,8 +616,8 @@ def _bp_dec_condense_kernel(meta_ref, e_ref, words_ref, out_ref,
                             planes_ref, sems):
     _dec_dma_loop(meta_ref, planes_ref, words_ref, sems, 'start')
     _dec_dma_loop(meta_ref, planes_ref, words_ref, sems, 'wait')
-    e = e_ref[:]                                   # (CB, BP_R, 128) int32
-    b_idx = jax.lax.broadcasted_iota(jnp.int32, (BP_CB, 32, BP_R, 128), 1)
+    e = e_ref[:]                                   # (CB, R, 128) int32
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, planes_ref.shape, 1)
     planes = jnp.where(b_idx < e[:, None], planes_ref[:], np.uint32(0))
     rows = _butterfly_rows([planes[:, i] for i in range(32)])
     z = jnp.stack(rows, axis=1).astype(jnp.int32)
@@ -610,16 +628,18 @@ def bp_decode_condense(words2d: jax.Array, offsets: jax.Array,
                        e: jax.Array) -> jax.Array:
     """Inverse of :func:`bp_encode_condense`.
 
-    ``words2d``: (cap_rows, BP_W) uint32 condensed stream (capacity from
+    ``words2d``: (cap_rows, W) uint32 condensed stream (capacity from
     bitplane.max_words); ``e``: (nchunks,) int32 per-chunk exponents.
-    Returns (nchunks, 32, BP_W) int32 values (zigzag already undone).
+    Returns (nchunks, 32, W) int32 values (zigzag already undone).
     """
     nc = offsets.shape[0]
+    W = words2d.shape[1]
+    R = _bp_r(W)
     assert nc % BP_CB == 0
     ntiles = nc // BP_CB
     cap_rows = words2d.shape[0]
-    words4 = words2d.reshape(cap_rows, BP_R, 128)
-    e_b = jnp.broadcast_to(e[:, None, None], (nc, BP_R, 128)).astype(jnp.int32)
+    words4 = words2d.reshape(cap_rows, R, 128)
+    e_b = jnp.broadcast_to(e[:, None, None], (nc, R, 128)).astype(jnp.int32)
     grid = (ntiles,)
     total = offsets[(ntiles - 1) * BP_CB] \
         + jnp.sum(e[(ntiles - 1) * BP_CB:]).astype(jnp.int32)
@@ -630,19 +650,19 @@ def bp_decode_condense(words2d: jax.Array, offsets: jax.Array,
         in_specs=[
             pl.BlockSpec((_META_ROWS, 128), lambda i: (i // _META_ROWS, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((BP_CB, BP_R, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((BP_CB, R, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((BP_CB, 32, BP_R, 128), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((BP_CB, 32, R, 128), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nc, 32, BP_R, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nc, 32, R, 128), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((BP_CB, 32, BP_R, 128), jnp.uint32),
+            pltpu.VMEM((BP_CB, 32, R, 128), jnp.uint32),
             pltpu.SemaphoreType.DMA((BP_CB,)),
         ],
     )(meta, e_b, words4)
-    return out.reshape(nc, 32, BP_W)
+    return out.reshape(nc, 32, W)
 
 
 def _bp_decode_kernel(planes_ref, sign_ref, out_ref):

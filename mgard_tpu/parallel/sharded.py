@@ -263,9 +263,7 @@ class ShardedCompressor:
                     if cfg.decomposition == Decomposition.HYBRID
                     else int(cfg.decomposition))
         header = fmt.Header(
-            chunk_groups=(bitplane.WIDE_CHUNK_GROUPS
-                          if self.dtype == np.dtype(np.float64)
-                          else bitplane.CHUNK_GROUPS),
+            chunk_groups=self.comp.chunk_groups,
             dtype=self.dtype, shape=self.global_shape,
             uniform=coords is None,
             coordinates=None if coords is None else [

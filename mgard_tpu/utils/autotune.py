@@ -43,16 +43,33 @@ def load_table(path: Optional[pathlib.Path] = None) -> Dict:
     return {}
 
 
+def _key(shape, dtype) -> str:
+    return f"{_device_kind()}|{np.dtype(dtype).name}|" \
+           f"{_size_bucket(int(np.prod(shape)))}"
+
+
 def lookup(shape, dtype, path: Optional[pathlib.Path] = None
            ) -> Optional[Config]:
-    """Return the tuned Config for this (device, dtype, size), if any."""
+    """Return the tuned Config for this (device, dtype, size), if any.
+
+    Merges the codec pick (``autotune``) with the runtime-knob winners
+    (``sweep_knobs``) recorded under the same key — the reference keys
+    its tables per-precision/per-dim the same way (AutoTunerSerial.h,
+    AutoTuner.h:46-120).  The per-key chunk width is safe to apply
+    per-workload because containers record their width (round-5)."""
     table = load_table(path)
-    key = f"{_device_kind()}|{np.dtype(dtype).name}|" \
-          f"{_size_bucket(int(np.prod(shape)))}"
+    key = _key(shape, dtype)
     entry = table.get(key)
-    if entry is None:
+    knobs = table.get("knobs", {}).get(key, {})
+    if entry is None and not knobs:
         return None
-    return Config(lossless=Lossless(entry["lossless"]))
+    kw = {}
+    if entry is not None:
+        kw["lossless"] = Lossless(entry["lossless"])
+    cg = knobs.get("MGARD_TPU_CHUNK_GROUPS")
+    if cg:
+        kw["chunk_groups"] = int(cg)
+    return Config(**kw)
 
 
 def autotune(shape, dtype=np.float32, s: float = math.inf,
@@ -115,8 +132,7 @@ def autotune(shape, dtype=np.float32, s: float = math.inf,
     if save:
         path = path or _DEFAULT_PATH
         table = load_table(path)
-        key = f"{_device_kind()}|{np.dtype(dtype).name}|" \
-              f"{_size_bucket(int(np.prod(shape)))}"
+        key = _key(shape, dtype)
         table[key] = {"lossless": best, "results": results,
                       "objective": objective}
         path.parent.mkdir(parents=True, exist_ok=True)
@@ -210,12 +226,18 @@ def sweep_knobs(shape=(256, 256, 256), dtype=np.float32,
                 grid: Optional[Dict] = None, objective: str = "balanced",
                 budget_s: int = 900, save: bool = True,
                 path: Optional[pathlib.Path] = None,
-                log=print) -> Dict:
+                log=print, _runner=None) -> Dict:
     """One-at-a-time sweep around the current defaults: for each knob,
     benchmark each candidate in a subprocess (fresh import so the env
-    takes effect), keep the winner, move to the next knob.  Persists
-    {default_knobs, sweep results incl. the ratio-vs-chunk_groups curve}
-    to the table."""
+    takes effect), keep the winner, move to the next knob.
+
+    Winners persist PER (device, dtype, size-bucket) under
+    ``table["knobs"][key]`` — 64^3 f32, 512^3 f32 and f64 each get their
+    own swept values (reference: per-precision/per-dim AutoTuner tables,
+    AutoTunerSerial.h) — plus ``default_knobs``, the winners of the
+    LARGEST swept bucket, which apply_tuned() seeds process-wide at
+    import for the knobs that must be import-time (BP_CB, matmul cap,
+    GPK).  ``_runner`` injects a probe function for tests."""
     import subprocess
     import sys
 
@@ -224,6 +246,8 @@ def sweep_knobs(shape=(256, 256, 256), dtype=np.float32,
     results: Dict[str, Dict] = {}
 
     def run_probe(knobs: Dict) -> Optional[Dict]:
+        if _runner is not None:
+            return _runner(knobs)
         env = dict(os.environ)
         # keep sweep compiles out of the committed repo cache
         env.setdefault("MGARD_TPU_CACHE_DIR", "/tmp/mgard_tpu_sweep_cache")
@@ -267,8 +291,17 @@ def sweep_knobs(shape=(256, 256, 256), dtype=np.float32,
     if save and current:
         path = path or _DEFAULT_PATH
         table = load_table(path)
-        table["default_knobs"] = {KNOB_ENV[k]: str(v)
-                                  for k, v in current.items()}
+        winners_env = {KNOB_ENV[k]: str(v) for k, v in current.items()}
+        knobs_tbl = table.setdefault("knobs", {})
+        key = _key(shape, dtype)
+        knobs_tbl[key] = dict(winners_env,
+                              _ndof=int(np.prod(shape)))
+        # default_knobs = the largest swept bucket's winners (import-time
+        # seeding); per-workload widths come from lookup()/Config.tuned.
+        largest = max(knobs_tbl.values(),
+                      key=lambda e: e.get("_ndof", 0))
+        table["default_knobs"] = {k: v for k, v in largest.items()
+                                  if not k.startswith("_")}
         table.setdefault("sweeps", {})[
             f"{np.dtype(dtype).name}|{'x'.join(map(str, shape))}"] = results
         path.parent.mkdir(parents=True, exist_ok=True)

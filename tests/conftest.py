@@ -62,6 +62,10 @@ _SLOW_TESTS = {
     "test_unstructured.py::test_surface_mesh_basic_properties",
     "test_unstructured.py::test_surface_mesh_compress_bound",
     "test_parallel.py::test_graft_dryrun_multichip",
+    "test_autotune.py::test_env_width_container_decodes_in_default_process",
+    "test_autotune.py::test_any_width_container_decodes_in_default_process",
+    "test_autotune.py::test_any_width_wide_f64_container_decodes",
+    "test_mgardx_interop.py::test_live_large_buffer_decodes_fast",
     "test_reference_oracle.py",
     "test_huffman_parity.py",
 }

@@ -157,3 +157,56 @@ def test_e2e_lz4_stage(lossless_name):
         v, 1e-3, config=Config(lossless=Lossless.BITPLANE,
                                adapt_lossless=False))
     assert len(buf) < len(plain)
+
+
+def test_decompress_rejects_bad_framing():
+    """ADVICE round-4: the framing header is untrusted — block_size=0
+    raises ValueError (not ZeroDivisionError) and an absurd raw_len is
+    rejected before allocation when the caller passes its cap."""
+    import struct
+
+    import pytest
+
+    from mgard_tpu.io.lz4_native import lz4_compress, lz4_decompress
+
+    good = lz4_compress(b"hello world" * 100)
+    bad_bs = struct.pack("<QI", 1100, 0) + good[12:]
+    with pytest.raises(ValueError, match="block_size"):
+        lz4_decompress(bad_bs)
+    huge = struct.pack("<QI", 1 << 60, 1 << 15) + good[12:]
+    with pytest.raises(ValueError, match="cap"):
+        lz4_decompress(huge, max_output_size=1 << 20)
+    # the cap passes through on honest payloads
+    assert lz4_decompress(good, max_output_size=1100) == b"hello world" * 100
+
+
+def test_third_party_lz4_decodes_our_blocks():
+    """ADVICE round-4: validate true third-party interop when the
+    python-lz4 package is present (skips otherwise) — every framed
+    block must decode with stock liblz4, not just our own decoder."""
+    import struct
+
+    lz4block = pytest.importorskip("lz4.block")
+
+    from mgard_tpu.io.lz4_native import lz4_compress
+
+    rng = np.random.default_rng(0)
+    data = (np.repeat(rng.integers(0, 50, 5000), 7)
+            .astype(np.uint8).tobytes())
+    buf = lz4_compress(data)
+    raw_len, block_size = struct.unpack_from("<QI", buf, 0)
+    nblocks = -(-raw_len // block_size)
+    lens = struct.unpack_from(f"<{nblocks}I", buf, 12)
+    off = 12 + 4 * nblocks
+    out = b""
+    pos = 0
+    for clen in lens:
+        raw_n = min(block_size, raw_len - pos)
+        blk = buf[off:off + clen]
+        if clen == raw_n:
+            out += blk
+        else:
+            out += lz4block.decompress(blk, uncompressed_size=raw_n)
+        off += clen
+        pos += raw_n
+    assert out == data

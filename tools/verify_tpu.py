@@ -107,14 +107,28 @@ def main(edge: int = 128) -> int:
         c = int(c_on)
         check("counts equal", c == int(c_off), f"{c} vs {int(c_off)}")
         check("exponents equal", np.array_equal(e_on, e_off))
+        # Thresholds derived from the measured cross-path divergence
+        # (ADVICE round-4): the two paths differ by ~rho = 1e-7 relative
+        # (f32 fma-vs-dot order), so a coefficient's bin flips when its
+        # scaled value lies within rho * |value| / quantum of a bin
+        # boundary — expected flip fraction ~ 2 * rho * amax / quantum.
+        # We allow 10x that expectation (floor 1e-4 for tiny streams).
+        from mgard_tpu.ops.quantize import supremum_quantum
+        quantum = float(supremum_quantum(hier, float(tol)))
+        rho = 1.2e-7
+        exp_frac = min(1.0, 2.0 * rho * float(np.abs(v).max()) / quantum)
+        flip_cap = max(10.0 * exp_frac, 1e-4)
         frac = float(np.count_nonzero(w_on[:c] != w_off[:c])) / max(c, 1)
-        check("word flips < 0.5%", frac < 0.005, f"frac={frac:.5f}")
-        # decode the GPK-on stream with the matmul recompose
+        check(f"word flips < {flip_cap:.2e} (10x expectation)",
+              frac < flip_cap, f"frac={frac:.5f}")
+        # decode the GPK-on stream with the matmul recompose: a bin-
+        # boundary flip moves one coefficient by at most one quantum, so
+        # the bound carries one quantum of slack (not zero headroom).
         out_cross = np.asarray(comp_off._decode(
             jnp.asarray(e_on), jnp.asarray(w_on), tol))
         err = float(np.abs(out_cross - v).max())
-        check("cross-path decode within bound", err <= 1e-3,
-              f"err={err:.3e}")
+        check("cross-path decode within bound + quantum",
+              err <= 1e-3 + quantum, f"err={err:.3e}")
     finally:
         transform._GPK = saved_gpk
 
