@@ -739,45 +739,83 @@ def compress_mgard_x(data: np.ndarray, tolerance: float,
     return write_container(header, payload, little_endian=True)
 
 
-def _decompress_mgard_x(header, payload: bytes) -> np.ndarray:
-    """Decode an MGARD-X (mgard-x executable) buffer — reference
-    Metadata.hpp:20-160 preamble + per-subdomain Compressor streams
-    (round-2 review missing item #2).
+def _x_level_shapes(shape, l_target: int):
+    """Per-level shapes of the X ghost-node hierarchy, coarsest first:
+    level l_target = ``shape``, level l-1 = level l // 2 + 1 per dim
+    (include/mgard-x/Hierarchy/Hierarchy.hpp:199-216 _level_shape)."""
+    walks = []
+    for n in shape:
+        w = [int(n)]
+        for _ in range(l_target):
+            w.append(w[-1] // 2 + 1)
+        walks.append(w[::-1])
+    return [tuple(w[l] for w in walks) for l in range(l_target + 1)]
 
-    Supported: serial/OpenMP-produced, MultiDim, reorder=0, L-inf error
-    control, X_HUFFMAN / X_HUFFMAN_ZSTD, no domain decomposition, 2^k+1
-    level-compatible shapes (where the X ghost-node hierarchy's level
-    shapes coincide with the reference dyadic hierarchy's).
-    """
-    domain = header["domain"]
-    topo = domain["cartesian_grid_topology"]
-    shape = tuple(int(x) for x in topo["shape"])
-    dtype = (np.float32 if header["dataset"]["type"] == DATASET_FLOAT
-             else np.float64)
-    ec = header["error_control"]
-    if ec["norm"] != NORM_L_INFINITY:
-        raise NotImplementedError(
-            "MGARD-X buffers: only L-inf error control supported")
-    tol = ec["tolerance"]
-    if ec["mode"] == 1:
-        tol = tol * ec["norm_of_original_data"]
-    dd = header.get("domain_decomposition", {})
-    if dd.get("method", 0) != 0:
-        raise NotImplementedError(
-            "MGARD-X buffers: domain decomposition not supported")
-    if header["encoding"].get("preprocessor", 0) != 0:
-        raise NotImplementedError(
-            "MGARD-X buffers: level linearization (reorder) not supported")
 
+def _x_linearized_to_corner(q: np.ndarray, shape, l_target: int
+                            ) -> np.ndarray:
+    """Scatter a reorder=1 (level-linearized) quantized stream into the
+    Mallat corner layout (reference LevelLinearizer role; the level
+    offset rule is LinearQuantization.hpp calc_level_offset: per level,
+    detail nodes ranked in row-major order of the level's natural grid
+    with coarser nodes removed; levels concatenate coarsest first)."""
+    shapes = _x_level_shapes(shape, l_target)
+    F = np.empty(shape, dtype=q.dtype)
+    pos = 0
+    for l in range(l_target + 1):
+        s_l = shapes[l]
+        g = np.indices(s_l).reshape(len(shape), -1)     # row-major order
+        if l == 0:
+            seg_n = int(np.prod(s_l))
+            F[tuple(g)] = q[pos:pos + seg_n]
+            pos += seg_n
+            continue
+        nc = np.array(shapes[l - 1], dtype=np.int64)[:, None]
+        det = (g % 2 == 1).any(axis=0)
+        gd = g[:, det]
+        c = np.where(gd % 2 == 1, nc + (gd - 1) // 2, gd // 2)
+        F[tuple(c)] = q[pos:pos + gd.shape[1]]
+        pos += gd.shape[1]
+    return F
+
+
+def _x_dequant_corner(q_corner: np.ndarray, hier, l_target: int, tol: float,
+                      s: float, snorm: bool) -> np.ndarray:
+    """Dequantize a corner-layout int64 array.
+
+    L-inf: one scalar quantum.  s-norm: per-level factor
+    quantizer[l] * volume[l] with quantizer[l] = 2*tol / (2^(s l)
+    sqrt(dof)) (LinearQuantization.hpp:495-545 CalcQuantizers) and the
+    levelwise-uniform volume sqrt(prod_d 1/(n_l[d]-1))
+    (Hierarchy.hpp:165-189 calc_volume)."""
+    shape = hier.shape
+    if not snorm:
+        d_eff = sum(1 for n in shape if n > 1)
+        quantum = 2.0 * tol / ((l_target + 1) * (1 + 3.0 ** d_eff))
+        return q_corner.astype(np.float64) * quantum
+    shapes = _x_level_shapes(shape, l_target)
+    dof = float(np.prod(shape))
+    factors = []
+    for l in range(l_target + 1):
+        quantizer = 2.0 * tol / (np.exp2(s * l) * math.sqrt(dof))
+        vol = math.sqrt(np.prod([1.0 / (n - 1) for n in shapes[l]]))
+        factors.append(quantizer * vol)
+    fine = np.empty(shape, dtype=np.float64)
+    from ..ops.transform import block_specs
+    for (l, _, _, _), sl in zip(block_specs(hier), _x_corner_slices(hier)):
+        fine[sl] = q_corner[sl].astype(np.float64) * factors[l]
+    return fine
+
+
+def _decode_x_subdomain(shape, dtype, compressor, blob: bytes, tol: float,
+                        s: float, snorm: bool, reorder: bool) -> np.ndarray:
+    """Decode one subdomain's compressed stream (reference
+    CompressionLowLevel Compressor::Decompress)."""
     hier, l_target = _x_hierarchy(shape)
-
-    compressor = header["encoding"]["compressor"]
-    (sub_size,) = struct.unpack_from("<Q", payload, 0)
-    blob = payload[8:8 + sub_size]
-    # CR < 1 fallback: the pipeline stores the raw subdomain bytes
-    # instead (CPUPipelines.hpp:115-134), detectable by exact size.
     itemsize = np.dtype(dtype).itemsize
-    if sub_size == int(np.prod(shape)) * itemsize:
+    # CR < 1 fallback: raw subdomain bytes (CPUPipelines.hpp:115-134),
+    # detectable by exact size.
+    if len(blob) == int(np.prod(shape)) * itemsize:
         return np.frombuffer(blob, dtype=dtype).reshape(shape).copy()
     if compressor == X_HUFFMAN_ZSTD:
         import zstandard
@@ -788,9 +826,11 @@ def _decompress_mgard_x(header, payload: bytes) -> np.ndarray:
         raise NotImplementedError(f"MGARD-X compressor {compressor}")
     q = _decode_x_huffman(blob)
 
-    d_eff = sum(1 for n in shape if n > 1)
-    quantum = 2.0 * tol / ((l_target + 1) * (1 + 3.0 ** d_eff))
-    fine = (q.astype(np.float64) * quantum).reshape(shape)
+    if reorder:
+        q_corner = _x_linearized_to_corner(q, shape, l_target)
+    else:
+        q_corner = q.reshape(shape)
+    fine = _x_dequant_corner(q_corner, hier, l_target, tol, s, snorm)
 
     import jax
     import jax.numpy as jnp
@@ -805,6 +845,92 @@ def _decompress_mgard_x(header, payload: bytes) -> np.ndarray:
         hier, transform.blocks_to_pyramid(
             hier, [x[sl] for sl in slices])))
     return np.asarray(f(jnp.asarray(fine))).astype(dtype)
+
+
+def _x_subdomains(shape, dd: dict):
+    """Subdomain (shape, origin) list in serialization order (reference
+    DomainDecomposer.hpp:124-160 subdomain_shape / dim_subdomain_id:
+    MaxDim = slabs of decomposition_size along decomposition_dimension,
+    Block = an N-D grid of decomposition_size cubes in raster order with
+    the last dim fastest; last chunks carry the remainders)."""
+    method = int(dd.get("method", 0))
+    if method == 0:
+        return [(tuple(shape), tuple(0 for _ in shape))]
+    if method == 1:   # MAX_DIMENSION
+        dim = int(dd.get("decomposition_dimension", 0))
+        size = int(dd["decomposition_size"])
+        subs = []
+        for lo in range(0, shape[dim], size):
+            bshape = list(shape)
+            bshape[dim] = min(size, shape[dim] - lo)
+            origin = [0] * len(shape)
+            origin[dim] = lo
+            subs.append((tuple(bshape), tuple(origin)))
+        return subs
+    if method == 2:   # BLOCK
+        size = int(dd["decomposition_size"])
+        counts = [(n - 1) // size + 1 for n in shape]
+        subs = []
+        for flat in range(int(np.prod(counts))):
+            idx, rem = [], flat
+            for c in reversed(counts):
+                idx.append(rem % c)
+                rem //= c
+            idx = idx[::-1]
+            bshape = tuple(size if i < n // size else n % size
+                           for i, n in zip(idx, shape))
+            origin = tuple(i * size for i in idx)
+            subs.append((bshape, origin))
+        return subs
+    raise NotImplementedError(
+        "MGARD-X buffers: VARIABLE domain decomposition is not decodable "
+        "from the header alone (the reference does not serialize the "
+        "per-subdomain sizes; its own decompressor needs them from "
+        "config too)")
+
+
+def _decompress_mgard_x(header, payload: bytes) -> np.ndarray:
+    """Decode an MGARD-X (mgard-x executable) buffer — reference
+    Metadata.hpp:20-160 preamble + per-subdomain Compressor streams.
+
+    Supported: serial/OpenMP-produced, MultiDim, reorder 0 and 1
+    (level-linearized), L-inf AND s-norm error control, ABS/REL,
+    X_HUFFMAN / X_HUFFMAN_ZSTD, MaxDim/Block domain decomposition,
+    2^k+1 level-compatible (sub)domain shapes (where the X ghost-node
+    hierarchy's level shapes coincide with the reference dyadic
+    hierarchy's).
+    """
+    domain = header["domain"]
+    topo = domain["cartesian_grid_topology"]
+    shape = tuple(int(x) for x in topo["shape"])
+    dtype = (np.float32 if header["dataset"]["type"] == DATASET_FLOAT
+             else np.float64)
+    ec = header["error_control"]
+    snorm = ec["norm"] != NORM_L_INFINITY
+    s = float(ec.get("s", math.inf)) if snorm else math.inf
+    tol = ec["tolerance"]
+    dd = header.get("domain_decomposition", {})
+    subs = _x_subdomains(shape, dd)
+    # local per-subdomain ABS tolerance (reference calc_local_abs_tol,
+    # ErrorToleranceCalculator.hpp:135-154)
+    if ec["mode"] == 1:   # RELATIVE
+        tol = tol * ec["norm_of_original_data"]
+    if snorm:
+        tol = math.sqrt(tol * tol / len(subs))
+    reorder = header["encoding"].get("preprocessor", 0) != 0
+    compressor = header["encoding"]["compressor"]
+
+    out = np.empty(shape, dtype=dtype)
+    off = 0
+    for bshape, origin in subs:
+        (sub_size,) = struct.unpack_from("<Q", payload, off)
+        off += 8
+        blob = payload[off:off + sub_size]
+        off += int(sub_size)
+        sl = tuple(slice(o, o + n) for o, n in zip(origin, bshape))
+        out[sl] = _decode_x_subdomain(bshape, dtype, compressor, blob,
+                                      tol, s, snorm, reorder)
+    return out
 
 
 def decompress_mgard(buf: bytes) -> np.ndarray:

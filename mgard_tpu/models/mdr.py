@@ -431,13 +431,26 @@ def mdr_refactor(hier: Hierarchy, v, B: int = NUM_BITPLANES,
     return MDRefactorResult(md, streams)
 
 
-def mdr_request(md: MDRMetadata, tol: float, s: float = math.inf
-                ) -> List[int]:
+def mdr_request(md: MDRMetadata, tol: float, s: float = math.inf,
+                strategy: str = "greedy") -> List[int]:
     """Pick per-level bitplane counts for a target tolerance (reference
-    SizeInterpreter; greedy like GreedyBasedSizeInterpreter.hpp:23).
+    SizeInterpreter family).
 
+    ``strategy`` mirrors the reference's interpreter variants:
+
+    * ``"greedy"`` (default) — the next plane of the level with the
+      largest *remaining* error per byte
+      (GreedyBasedSizeInterpreter.hpp:23);
+    * ``"inorder"`` — levels coarsest-first, each level fetched to
+      exhaustion before the next (BasicSizeInterpreter.hpp:11
+      InorderSizeInterpreter);
+    * ``"roundrobin"`` — one plane per level cyclically
+      (BasicSizeInterpreter.hpp:53 RoundRobinSizeInterpreter).
+
+    All strategies stop at the same error target, so they are
+    interchangeable in correctness; greedy minimizes retrieved bytes.
     Plane costs come from the stored (compressed) stream sizes, so the
-    plan optimizes actual retrieved bytes."""
+    greedy plan optimizes actual retrieved bytes."""
     L = len(md.levels) - 1
     counts = [0] * (L + 1)
     B = md.num_bitplanes
@@ -447,6 +460,28 @@ def mdr_request(md: MDRMetadata, tol: float, s: float = math.inf
         if sz[1 + b] > 0:
             return float(sz[1 + b])
         return 4.0 * (-(-md.levels[l].n // GROUP))
+
+    if strategy == "inorder":
+        l = 0
+        while estimate_error(md, counts, s) > tol:
+            while l <= L and counts[l] >= B:
+                l += 1
+            if l > L:
+                break
+            counts[l] += 1
+        return counts
+    if strategy == "roundrobin":
+        l = 0
+        while estimate_error(md, counts, s) > tol:
+            if all(c >= B for c in counts):
+                break
+            while counts[l] >= B:
+                l = (l + 1) % (L + 1)
+            counts[l] += 1
+            l = (l + 1) % (L + 1)
+        return counts
+    if strategy != "greedy":
+        raise ValueError(f"unknown size-interpreter strategy {strategy!r}")
 
     # Greedy: repeatedly fetch the next plane of the level with the largest
     # *remaining* error per byte.  Ranking by remaining error (not by the

@@ -182,6 +182,8 @@ def probe(shape, dtype=np.float32, s: float = math.inf,
     from .cache import enable_persistent_cache
 
     enable_persistent_cache()
+    if np.dtype(dtype) == np.dtype(np.float64):
+        jax.config.update("jax_enable_x64", True)
     hier = Hierarchy(shape)
     comp = Compressor(hier, np.dtype(dtype), s=s)
     rng = np.random.default_rng(0)

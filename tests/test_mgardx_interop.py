@@ -179,3 +179,81 @@ def test_live_large_buffer_decodes_fast(tmp_path):
     elapsed = time.time() - t0
     assert np.abs(got.astype(np.float64) - v).max() <= 1e-4
     assert elapsed < 60.0, f"X decode took {elapsed:.0f}s (budget 60s)"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not MGARDX.exists(),
+                    reason="mgard-x serial binary not built")
+@pytest.mark.parametrize("s", [0.0, 1.0])
+def test_live_snorm_buffer_decodes(tmp_path, s):
+    """Round-5 VERDICT item 2: s-norm (finite smoothness) mgard-x
+    buffers decode — levelwise quantizers 2*tol/(2^(s l) sqrt(dof))
+    with the uniform level volumes (LinearQuantization.hpp:495-545)."""
+    from tests.test_compress_e2e import smooth_field
+
+    shape = (33, 33)
+    v = smooth_field(shape, seed=21).astype(np.float32)
+    raw = tmp_path / "in.bin"
+    out = tmp_path / "out.mgardx"
+    v.tofile(raw)
+    tol = 1e-4
+    subprocess.run(
+        [str(MGARDX), "-z", "-i", str(raw), "-o", str(out), "-dt", "s",
+         "-dim", "2", str(shape[0]), str(shape[1]), "-em", "abs",
+         "-e", str(tol), "-s", str(s), "-l", "huffman", "-d", "serial"],
+        check=True, capture_output=True)
+    got = mgard_tpu.decompress(out.read_bytes())
+    # reproduce the reference's own reconstruction: decode the same
+    # buffer with the binary and compare against IT (the s-norm bound
+    # itself is an L2-family bound, not pointwise)
+    ref_out = tmp_path / "ref.bin"
+    subprocess.run(
+        [str(MGARDX), "-x", "-i", str(out), "-o", str(ref_out),
+         "-d", "serial"], check=True, capture_output=True)
+    ref = np.fromfile(ref_out, dtype=np.float32).reshape(shape)
+    assert np.abs(got.astype(np.float64) - ref).max() <= 1e-5
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not MGARDX.exists(),
+                    reason="mgard-x serial binary not built")
+def test_live_block_dd_buffer_decodes(tmp_path):
+    """Round-5 VERDICT item 2: Block domain-decomposed mgard-x buffers
+    decode — per-subdomain |u64 size|stream| records in raster order
+    (DomainDecomposer.hpp:124-160, CPUPipelines.hpp:213-219)."""
+    from tests.test_compress_e2e import smooth_field
+
+    shape = (34, 17, 17)   # dd-size 17 -> 2x1x1 subdomains of 17^3
+    v = smooth_field(shape, seed=22).astype(np.float32)
+    raw = tmp_path / "in.bin"
+    out = tmp_path / "out.mgardx"
+    v.tofile(raw)
+    subprocess.run(
+        [str(MGARDX), "-z", "-i", str(raw), "-o", str(out), "-dt", "s",
+         "-dim", "3", *(str(n) for n in shape), "-em", "abs",
+         "-e", "1e-3", "-s", "inf", "-l", "huffman-zstd", "-d", "serial",
+         "-dd", "block", "-dd-size", "17"],
+        check=True, capture_output=True)
+    got = mgard_tpu.decompress(out.read_bytes())
+    assert got.shape == shape
+    assert np.abs(got.astype(np.float64) - v).max() <= 1e-3
+
+
+def test_golden_reorder1_level_linearized():
+    """Round-5 VERDICT item 2: reorder=1 (level-linearized) buffers
+    decode.  The golden fixture was produced by the reference X library
+    itself with config.reorder=1 (the mgard-x CLI hardcodes reorder=0
+    and the serial library SEGFAULTS on 2-D reorder=1 — only the 3-D
+    path works upstream; see LinearQuantization.hpp calc_level_offset
+    for the layout).  We must reproduce the reference's own
+    reconstruction, not merely the bound."""
+    x = np.linspace(0, 1, 33)
+    v = (np.sin(3 * x)[:, None, None] * np.cos(2 * x)[None, :, None]
+         * (1 + x)[None, None, :]).astype(np.float32)
+    buf = (DATA / "golden_33cube_f32_reorder1_zstd.mgardx").read_bytes()
+    ref = np.fromfile(DATA / "golden_33cube_f32_reorder1_ref_recon.bin",
+                      dtype=np.float32).reshape(33, 33, 33)
+    out = mgard_tpu.decompress(buf)
+    assert np.abs(out.astype(np.float64) - v).max() <= 1e-3
+    # the reference binary reports this exact reconstruction
+    assert np.abs(out.astype(np.float64) - ref).max() <= 1e-6
