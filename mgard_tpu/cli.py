@@ -73,10 +73,23 @@ def _build_parser():
     z.add_argument("--dtype", choices=["float32", "float64"],
                    default="float32")
     z.add_argument("--rate", type=int, default=8)
+    z.add_argument("--format", choices=["native", "zfp-x"],
+                   default="native",
+                   help="native = TPU lifting codec container; zfp-x = "
+                   "the reference port's raw fixed-rate stream "
+                   "(bit-compatible, models/zfp_stream.py)")
 
     zd = sub.add_parser("zfp-decompress", help="decode a ZFPT stream")
     zd.add_argument("--input", "-i", required=True)
     zd.add_argument("--output", "-o", required=True)
+    zd.add_argument("--format", choices=["native", "zfp-x"],
+                    default="native")
+    zd.add_argument("--shape", nargs="+", type=int,
+                    help="required for --format zfp-x (raw streams are "
+                    "headerless)")
+    zd.add_argument("--dtype", choices=["float32", "float64"],
+                    default="float32")
+    zd.add_argument("--rate", type=int, default=8)
     return p
 
 
@@ -185,19 +198,30 @@ def main(argv=None):
         print(f"reconstructed {out.nbytes} bytes from {fetched} stream "
               f"bytes (planes per level: {counts})")
     elif args.command == "zfp":
-        from mgard_tpu.models.zfp import compress_zfp
-
         data = np.fromfile(args.input, dtype=np.dtype(args.dtype))
         data = data.reshape(args.shape)
-        buf = compress_zfp(data, rate=args.rate)
+        if args.format == "zfp-x":
+            from mgard_tpu.models.zfp_stream import zfp_encode
+            buf = zfp_encode(data, args.rate)
+        else:
+            from mgard_tpu.models.zfp import compress_zfp
+            buf = compress_zfp(data, rate=args.rate)
         with open(args.output, "wb") as f:
             f.write(buf)
         print(f"{data.nbytes} -> {len(buf)} bytes "
               f"(fixed rate {args.rate} bits/value)")
     elif args.command == "zfp-decompress":
-        from mgard_tpu.models.zfp import decompress_zfp
-
-        out = decompress_zfp(open(args.input, "rb").read())
+        if args.format == "zfp-x":
+            if not args.shape:
+                raise SystemExit("--format zfp-x needs --shape (raw "
+                                 "zfp streams are headerless)")
+            from mgard_tpu.models.zfp_stream import zfp_decode
+            out = zfp_decode(open(args.input, "rb").read(),
+                             tuple(args.shape), np.dtype(args.dtype),
+                             args.rate)
+        else:
+            from mgard_tpu.models.zfp import decompress_zfp
+            out = decompress_zfp(open(args.input, "rb").read())
         out.tofile(args.output)
         print(f"wrote {out.nbytes} bytes, shape {out.shape}")
     elif args.command == "inspect":

@@ -102,9 +102,15 @@ def scale_pyramid(hier: Hierarchy, pyramid, s: float, tol):
 
 def round_quantize(scaled: jax.Array, int_dtype=jnp.int32) -> jax.Array:
     """Round-half-away-from-zero + integer cast (the final quantize step;
-    reference LinearQuantizer.tpp:20-26)."""
-    return jnp.trunc(jnp.copysign(0.5 + jnp.abs(scaled), scaled)
-                     ).astype(int_dtype)
+    reference LinearQuantizer.tpp:20-26).
+
+    Sign selection via where() rather than copysign(): copysign lowers
+    through a signbit bitcast that, for float64, XLA's TPU x64-emulation
+    pass cannot rewrite ("not contain X64 element types ... s64
+    bitcast-convert") — this form compiles on TPU and produces the same
+    integers (negative zero and NaN included)."""
+    t = jnp.trunc(0.5 + jnp.abs(scaled))
+    return jnp.where(scaled < 0, -t, t).astype(int_dtype)
 
 
 def quantize_pyramid(hier: Hierarchy, pyramid, s: float, tol,
@@ -125,7 +131,8 @@ def quantize_pyramid(hier: Hierarchy, pyramid, s: float, tol,
             scaled = blk * scale.astype(dt)
             for w in _broadcast_outer(_level_weight_vectors(hier, l), dt):
                 scaled = scaled * w
-        q = jnp.trunc(jnp.copysign(0.5 + jnp.abs(scaled), scaled))
+        t = jnp.trunc(0.5 + jnp.abs(scaled))   # where() not copysign():
+        q = jnp.where(scaled < 0, -t, t)       # see round_quantize
         out.append(q.astype(int_dtype))
     return out
 
@@ -189,7 +196,8 @@ def quantize_blocks(hier: Hierarchy, blocks, s: float, tol,
             for w in _broadcast_outer(
                     _block_inv_quantum_volume(hier, l, pos), dt):
                 scaled = scaled * w
-        q = jnp.trunc(jnp.copysign(0.5 + jnp.abs(scaled), scaled))
+        t = jnp.trunc(0.5 + jnp.abs(scaled))   # where() not copysign():
+        q = jnp.where(scaled < 0, -t, t)       # see round_quantize
         out.append(q.astype(int_dtype))
     return out
 
