@@ -198,6 +198,17 @@ def warm():
     mid = smooth_field_host((256, 256, 256))
     mgard_tpu.compress(
         mid, 1e-3, config=Config(lossless=Lossless.BITPLANE_GROUP_ZSTD))
+    # f64 wide-codec programs (the x64-emulated path compiles slowly)
+    t0 = time.perf_counter()
+    jax.config.update("jax_enable_x64", True)
+    comp64 = Compressor(Hierarchy((128, 128, 128)), np.float64, s=math.inf)
+    v64 = smooth_field_device((128, 128, 128), jnp.float64)
+    tol64 = jnp.asarray(1e-6, dtype=jnp.float64)
+    e, w, c, _ = comp64._encode(v64, tol64)
+    _sync((e, w, c))
+    _sync(comp64._decode(e, w, tol64))
+    print(f"# warm f64 128^3: {time.perf_counter()-t0:.0f}s",
+          file=sys.stderr, flush=True)
     print(f"# warm: total {time.perf_counter()-t00:.0f}s",
           file=sys.stderr, flush=True)
 
@@ -289,7 +300,8 @@ def main():
         signal.alarm(0)
         print(f"# e2e path failed: {str(exc)[:200]}", file=sys.stderr)
 
-    # same-field size parity vs the compiled reference
+    # same-field size parity vs the compiled reference — runs BEFORE
+    # the f64 row so jax_enable_x64 cannot leak into its f32 tracing
     signal.alarm(PARITY_BUDGET_S)
     try:
         reference_parity(result)
@@ -301,6 +313,37 @@ def main():
         signal.alarm(0)
         result.setdefault("size_vs_ref", None)
         print(f"# parity skipped: {str(exc)[:200]}", file=sys.stderr)
+
+    # f64 wide-codec point (round-5 VERDICT item 5).  Far below the f32
+    # headline by design constraints: TPUs have no native 64-bit ALU
+    # (XLA emulates every f64/int64 op as 32-bit pairs) and the wide
+    # codec is pure XLA (no fused Pallas condense / GPK stencils).
+    # Measured 0.92 GB/s at 128^3, 0.52 GB/s at 256^3 (BASELINE.md).
+    signal.alarm(150)
+    try:
+        jax.config.update("jax_enable_x64", True)
+        shape64 = (128, 128, 128)
+        comp64 = Compressor(Hierarchy(shape64), np.float64, s=math.inf)
+        v64 = smooth_field_device(shape64, jnp.float64)
+        _sync(v64)
+        tol64 = jnp.asarray(1e-6, dtype=jnp.float64)
+        e64, w64, c64, _ = comp64._encode(v64, tol64)
+        _sync((e64, w64, c64))
+        _sync(comp64._decode(e64, w64, tol64))
+        t_enc64 = timed(comp64._encode, v64, tol64, n1=2, n2=6)
+        t_dec64 = timed(comp64._decode, e64, w64, tol64, n1=2, n2=6)
+        n64 = float(np.prod(shape64)) * 8
+        gbps64 = n64 / (t_enc64 + t_dec64) / 1e9
+        err64 = float(jnp.max(jnp.abs(comp64._decode(e64, w64, tol64)
+                                      - v64)))
+        print(f"# f64 {shape64} (wide codec, x64-emulated): "
+              f"{gbps64:.2f} GB/s (enc {t_enc64*1e3:.1f}ms dec "
+              f"{t_dec64*1e3:.1f}ms) err={err64:.2e}", file=sys.stderr)
+        result["f64_gbps_128"] = round(gbps64, 3)
+        signal.alarm(0)
+    except (_Timeout, Exception) as exc:  # noqa: BLE001
+        signal.alarm(0)
+        print(f"# f64 row skipped: {str(exc)[:200]}", file=sys.stderr)
 
     print(json.dumps(result))
 

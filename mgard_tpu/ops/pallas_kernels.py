@@ -145,7 +145,6 @@ def bp_encode_core(qc: jax.Array):
 # are harmless and the capacity buffer has 33 rows/chunk of headroom),
 # so it needs no switch at all.
 
-_META_ROWS = 8         # SMEM block sublane quantum
 from .bitplane import CHUNK_GROUPS as BP_W  # noqa: E402
 #                      the PROCESS-DEFAULT chunk width; the kernels below
 #                      derive the actual width W from their input shapes
@@ -163,49 +162,52 @@ def _bp_r(W: int) -> int:
     return W // 128
 
 
+_META_STRIDE = 16      # int32 slots per tile in the flat SMEM meta
+assert BP_CB + 1 <= _META_STRIDE
+
+
 def _pack_meta(offsets: jax.Array, ntiles: int,
                total_rows: jax.Array) -> jax.Array:
-    """Pack per-tile chunk offsets (cols 0..BP_CB-1) and the NEXT tile's
-    first offset (col BP_CB; the stream's total row count for the last
-    tile) into one SMEM-friendly (ntiles_pad8, 128) int32 array (rank-2
-    SMEM blocks must be (8k, 128); rows beyond ntiles are never read
-    because the grid stops first)."""
+    """Pack per-tile chunk offsets (slots 0..BP_CB-1) and the NEXT
+    tile's first offset (slot BP_CB; the stream's total row count for
+    the last tile) into one flat SMEM int32 array, _META_STRIDE slots
+    per tile.  Kept whole in SMEM (a few KB) rather than blocked per
+    grid step so the double-buffered condense can reconstruct the DMA
+    descriptors of EARLIER tiles when it waits on their transfers."""
     nxt = jnp.concatenate(
         [offsets[BP_CB::BP_CB], total_rows.reshape(1)]).astype(jnp.int32)
     meta = jnp.concatenate(
         [offsets.reshape(ntiles, BP_CB).astype(jnp.int32),
          nxt.reshape(ntiles, 1),
-         jnp.zeros((ntiles, 127 - BP_CB), jnp.int32)], axis=1)
-    pad = (-ntiles) % _META_ROWS
-    if pad:
-        meta = jnp.concatenate(
-            [meta, jnp.zeros((pad, 128), jnp.int32)], axis=0)
-    return meta
+         jnp.zeros((ntiles, _META_STRIDE - BP_CB - 1), jnp.int32)], axis=1)
+    return meta.reshape(-1)
 
 
-def _enc_dma_loop(meta_ref, planes_ref, out_ref, sems, action: str) -> None:
-    """Per-chunk exact-size DMA from planes scratch to the stream.
+_META_SPEC = pl.BlockSpec(memory_space=pltpu.SMEM)   # whole array
 
-    ``action``: 'start' or 'wait' — two passes over the tile's chunks so
-    all BP_CB transfers (disjoint by exact sizing) fly concurrently.
+
+def _enc_dma_loop(meta_ref, planes_ref, out_ref, sems, action: str,
+                  t, p: int) -> None:
+    """Per-chunk exact-size DMA between tile ``t``'s planes scratch
+    (STATIC parity slot ``p``) and the stream.
+
+    ``action``: 'start' or 'wait' — all BP_CB transfers of a tile
+    (disjoint by exact sizing) fly concurrently.
     """
-    row = pl.program_id(0) % _META_ROWS
+    base = t * _META_STRIDE
 
     def body(c, _):
-        off = meta_ref[row, c]
-        nxt = jax.lax.cond(c == BP_CB - 1,
-                           lambda: meta_ref[row, BP_CB],
-                           lambda: meta_ref[row, c + 1])
-        sz = nxt - off
+        off = meta_ref[base + c]
+        sz = meta_ref[base + c + 1] - off   # slot BP_CB = next tile's 0
 
         def mk(j):
             def br():
                 if j == 0:
                     return
                 dma = pltpu.make_async_copy(
-                    planes_ref.at[c, pl.ds(0, j)],
+                    planes_ref.at[p, c, pl.ds(0, j)],
                     out_ref.at[pl.ds(off, j)],
-                    sems.at[c])
+                    sems.at[p, c])
                 if action == 'start':
                     dma.start()
                 else:
@@ -218,12 +220,74 @@ def _enc_dma_loop(meta_ref, planes_ref, out_ref, sems, action: str) -> None:
     jax.lax.fori_loop(0, BP_CB, body, 0)
 
 
-def _bp_enc_condense_kernel(meta_ref, q_ref, out_ref, planes_ref, sems):
-    z = q_ref[:]                                   # (CB, 32, 8, 128) uint32
-    rows = _butterfly_rows([z[:, i] for i in range(32)])
-    planes_ref[:] = jnp.stack(rows, axis=1)
-    _enc_dma_loop(meta_ref, planes_ref, out_ref, sems, 'start')
-    _enc_dma_loop(meta_ref, planes_ref, out_ref, sems, 'wait')
+# Double-buffered condense (deferred DMA waits), MGARD_TPU_DB_CONDENSE=1.
+# Measured NEUTRAL at 512^3 (20.27 vs 20.32 GB/s e2e, streams bit-equal):
+# the condense is memory/VPU bound, not wait bound — round 4's
+# "dispatch bound" diagnosis overstated the per-chunk DMA cost.  Kept
+# opt-in (validated bit-exact on hardware) since it may pay on parts
+# with slower DMA issue; default is the simpler single-buffer form,
+# which also halves the planes scratch.
+_DB_CONDENSE = __import__("os").environ.get(
+    "MGARD_TPU_DB_CONDENSE", "0") == "1"
+
+
+def _enc_condense_steps(meta_ref, planes, out_ref, planes_ref, sems,
+                        ntiles: int) -> None:
+    """Condense step (shared by all encode kernels).
+
+    Single-buffer form: butterfly, start the tile's DMAs, wait for them
+    — the VPU stalls for the full transfer latency every grid step.
+    Double-buffered form (default): with two scratch parities, step i
+    only waits for the transfers issued at step i-2 (almost always
+    already complete behind step i-1's butterfly), and the final step
+    drains the last two tiles.  Stream bytes are identical either way.
+    """
+    i = pl.program_id(0)
+    if not _DB_CONDENSE:
+        planes_ref[0] = planes
+        _enc_dma_loop(meta_ref, planes_ref, out_ref, sems, 'start', i, 0)
+        _enc_dma_loop(meta_ref, planes_ref, out_ref, sems, 'wait', i, 0)
+        return
+    par = jax.lax.rem(i, np.int32(2))   # int32 under jax_enable_x64 too
+
+    # Parity indices must be STATIC: a traced index into the planes
+    # scratch / semaphore arrays sends Mosaic down a scalarized path
+    # (measured ~80x slower).  Duplicate the step under pl.when instead.
+    for P in (0, 1):
+        @pl.when(par == P)
+        def _step(P=P):
+            @pl.when(i >= 2)
+            def _wait_prev():
+                _enc_dma_loop(meta_ref, planes_ref, out_ref, sems,
+                              'wait', i - 2, P)
+
+            planes_ref[P] = planes
+            _enc_dma_loop(meta_ref, planes_ref, out_ref, sems,
+                          'start', i, P)
+
+            @pl.when(i == ntiles - 1)
+            def _drain():
+                if ntiles >= 2:
+                    _enc_dma_loop(meta_ref, planes_ref, out_ref, sems,
+                                  'wait', i - 1, 1 - P)
+                _enc_dma_loop(meta_ref, planes_ref, out_ref, sems,
+                              'wait', i, P)
+
+
+def _enc_scratch(R: int):
+    return [
+        pltpu.VMEM((2, BP_CB, 32, R, 128), jnp.uint32),
+        pltpu.SemaphoreType.DMA((2, BP_CB)),
+    ]
+
+
+def _mk_bp_enc_condense_kernel(ntiles: int):
+    def kernel(meta_ref, q_ref, out_ref, planes_ref, sems):
+        z = q_ref[:]                               # (CB, 32, R, 128) uint32
+        rows = _butterfly_rows([z[:, i] for i in range(32)])
+        _enc_condense_steps(meta_ref, jnp.stack(rows, axis=1), out_ref,
+                            planes_ref, sems, ntiles)
+    return kernel
 
 
 def bp_encode_condense(zc: jax.Array, offsets: jax.Array,
@@ -246,20 +310,16 @@ def bp_encode_condense(zc: jax.Array, offsets: jax.Array,
     total = offsets[(ntiles - 1) * BP_CB] + tile_rows[-1]
     meta = _pack_meta(offsets, ntiles, total)
     return pl.pallas_call(
-        _bp_enc_condense_kernel,
+        _mk_bp_enc_condense_kernel(ntiles),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_META_ROWS, 128), lambda i: (i // _META_ROWS, 0),
-                         memory_space=pltpu.SMEM),
+            _META_SPEC,
             pl.BlockSpec((BP_CB, 32, R, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((cap_rows, R, 128), jnp.uint32),
-        scratch_shapes=[
-            pltpu.VMEM((BP_CB, 32, R, 128), jnp.uint32),
-            pltpu.SemaphoreType.DMA((BP_CB,)),
-        ],
+        scratch_shapes=_enc_scratch(R),
     )(meta, zc4)
 
 
@@ -345,13 +405,13 @@ def bp_quant_zigzag(xc: jax.Array, inv_q) -> tuple:
             flag[:, :BP_CB, 0].reshape(nc))
 
 
-def _bp_condense_into_kernel(meta_ref, q_ref, _buf_ref, out_ref,
-                             planes_ref, sems):
-    z = q_ref[:]                                   # (CB, 32, BP_R, 128) uint32
-    rows = _butterfly_rows([z[:, i] for i in range(32)])
-    planes_ref[:] = jnp.stack(rows, axis=1)
-    _enc_dma_loop(meta_ref, planes_ref, out_ref, sems, 'start')
-    _enc_dma_loop(meta_ref, planes_ref, out_ref, sems, 'wait')
+def _mk_bp_condense_into_kernel(ntiles: int):
+    def kernel(meta_ref, q_ref, _buf_ref, out_ref, planes_ref, sems):
+        z = q_ref[:]                               # (CB, 32, R, 128) uint32
+        rows = _butterfly_rows([z[:, i] for i in range(32)])
+        _enc_condense_steps(meta_ref, jnp.stack(rows, axis=1), out_ref,
+                            planes_ref, sems, ntiles)
+    return kernel
 
 
 # ---------------------------------------------------------------------------
@@ -377,22 +437,23 @@ def _quant_zigzag_block(x, invq):
             ).astype(jnp.uint32)
 
 
-def _bp_quant_condense_kernel(invq_ref, meta_ref, x_ref, out_ref,
-                              planes_ref, sems):
-    z = _quant_zigzag_block(x_ref[:], invq_ref[0, 0])
-    rows = _butterfly_rows([z[:, i] for i in range(32)])
-    planes_ref[:] = jnp.stack(rows, axis=1)
-    _enc_dma_loop(meta_ref, planes_ref, out_ref, sems, 'start')
-    _enc_dma_loop(meta_ref, planes_ref, out_ref, sems, 'wait')
+def _mk_bp_quant_condense_kernel(ntiles: int):
+    def kernel(invq_ref, meta_ref, x_ref, out_ref, planes_ref, sems):
+        z = _quant_zigzag_block(x_ref[:], invq_ref[0, 0])
+        rows = _butterfly_rows([z[:, i] for i in range(32)])
+        _enc_condense_steps(meta_ref, jnp.stack(rows, axis=1), out_ref,
+                            planes_ref, sems, ntiles)
+    return kernel
 
 
-def _bp_quant_condense_into_kernel(invq_ref, meta_ref, x_ref, _buf_ref,
-                                   out_ref, planes_ref, sems):
-    z = _quant_zigzag_block(x_ref[:], invq_ref[0, 0])
-    rows = _butterfly_rows([z[:, i] for i in range(32)])
-    planes_ref[:] = jnp.stack(rows, axis=1)
-    _enc_dma_loop(meta_ref, planes_ref, out_ref, sems, 'start')
-    _enc_dma_loop(meta_ref, planes_ref, out_ref, sems, 'wait')
+def _mk_bp_quant_condense_into_kernel(ntiles: int):
+    def kernel(invq_ref, meta_ref, x_ref, _buf_ref, out_ref,
+               planes_ref, sems):
+        z = _quant_zigzag_block(x_ref[:], invq_ref[0, 0])
+        rows = _butterfly_rows([z[:, i] for i in range(32)])
+        _enc_condense_steps(meta_ref, jnp.stack(rows, axis=1), out_ref,
+                            planes_ref, sems, ntiles)
+    return kernel
 
 
 def bp_quant_condense(xc: jax.Array, inv_q, offsets: jax.Array,
@@ -413,33 +474,26 @@ def bp_quant_condense(xc: jax.Array, inv_q, offsets: jax.Array,
     x4 = xc.reshape(nc, 32, R, 128)
     meta = _pack_meta(offsets, ntiles, total_rows)
     invq = jnp.asarray(inv_q, jnp.float32).reshape(1, 1)
-    scratch = [
-        pltpu.VMEM((BP_CB, 32, R, 128), jnp.uint32),
-        pltpu.SemaphoreType.DMA((BP_CB,)),
-    ]
     smem1 = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
-    meta_spec = pl.BlockSpec((_META_ROWS, 128),
-                             lambda i: (i // _META_ROWS, 0),
-                             memory_space=pltpu.SMEM)
     x_spec = pl.BlockSpec((BP_CB, 32, R, 128), lambda i: (i, 0, 0, 0),
                           memory_space=pltpu.VMEM)
     if buf is None:
         return pl.pallas_call(
-            _bp_quant_condense_kernel,
+            _mk_bp_quant_condense_kernel(ntiles),
             grid=(ntiles,),
-            in_specs=[smem1, meta_spec, x_spec],
+            in_specs=[smem1, _META_SPEC, x_spec],
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             out_shape=jax.ShapeDtypeStruct((cap_rows, R, 128), jnp.uint32),
-            scratch_shapes=scratch,
+            scratch_shapes=_enc_scratch(R),
         )(invq, meta, x4)
     return pl.pallas_call(
-        _bp_quant_condense_into_kernel,
+        _mk_bp_quant_condense_into_kernel(ntiles),
         grid=(ntiles,),
-        in_specs=[smem1, meta_spec, x_spec,
+        in_specs=[smem1, _META_SPEC, x_spec,
                   pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct(buf.shape, jnp.uint32),
-        scratch_shapes=scratch,
+        scratch_shapes=_enc_scratch(R),
         input_output_aliases={3: 0},
     )(invq, meta, x4, buf)
 
@@ -520,21 +574,17 @@ def bp_condense_into(zc: jax.Array, offsets: jax.Array,
     zc4 = zc.reshape(nc, 32, R, 128)
     meta = _pack_meta(offsets, ntiles, total_rows)
     return pl.pallas_call(
-        _bp_condense_into_kernel,
+        _mk_bp_condense_into_kernel(ntiles),
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((_META_ROWS, 128), lambda i: (i // _META_ROWS, 0),
-                         memory_space=pltpu.SMEM),
+            _META_SPEC,
             pl.BlockSpec((BP_CB, 32, R, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct(buf.shape, jnp.uint32),
-        scratch_shapes=[
-            pltpu.VMEM((BP_CB, 32, R, 128), jnp.uint32),
-            pltpu.SemaphoreType.DMA((BP_CB,)),
-        ],
+        scratch_shapes=_enc_scratch(R),
         input_output_aliases={2: 0},
     )(meta, zc4, buf)
 
@@ -574,8 +624,7 @@ def bp_decode_condense_f32(words2d: jax.Array, offsets: jax.Array,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((_META_ROWS, 128), lambda i: (i // _META_ROWS, 0),
-                         memory_space=pltpu.SMEM),
+            _META_SPEC,
             pl.BlockSpec((BP_CB, R, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -595,10 +644,10 @@ def _dec_dma_loop(meta_ref, planes_ref, words_ref, sems,
                   action: str) -> None:
     """Fixed-size 32-row read per chunk (reads may overlap; garbage
     planes past a chunk's exponent are masked by the caller)."""
-    row = pl.program_id(0) % _META_ROWS
+    base = pl.program_id(0) * _META_STRIDE
 
     def body(c, _):
-        off = meta_ref[row, c]
+        off = meta_ref[base + c]
         dma = pltpu.make_async_copy(
             words_ref.at[pl.ds(off, 32)],
             planes_ref.at[c],
@@ -648,8 +697,7 @@ def bp_decode_condense(words2d: jax.Array, offsets: jax.Array,
         _bp_dec_condense_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_META_ROWS, 128), lambda i: (i // _META_ROWS, 0),
-                         memory_space=pltpu.SMEM),
+            _META_SPEC,
             pl.BlockSpec((BP_CB, R, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),

@@ -140,8 +140,10 @@ def _b2(row, m2, w2):
     """Lane lerp B2 on a (rows, n2) slab: new lanes get the +-1 lerp,
     parental lanes pass through bit-exactly."""
     n2 = row.shape[-1]
-    l2 = pltpu.roll(row, 1, axis=1)
-    r2 = pltpu.roll(row, n2 - 1, axis=1)            # roll by -1
+    # int32 shift operands: under jax_enable_x64 a bare Python int
+    # traces as i64 and Mosaic's tpu.dynamic_rotate rejects it
+    l2 = pltpu.roll(row, np.int32(1), axis=1)
+    r2 = pltpu.roll(row, np.int32(n2 - 1), axis=1)  # roll by -1
     return jnp.where(m2 != 0.0, (1.0 - w2) * l2 + w2 * r2, row)
 
 
