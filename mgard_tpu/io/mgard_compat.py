@@ -652,13 +652,15 @@ def _encode_x_huffman(q: np.ndarray, dict_size: int = 8192,
 
 def compress_mgard_x(data: np.ndarray, tolerance: float,
                      zstd: bool = True, dict_size: int = 8192,
-                     chunk_size: int = 20480) -> bytes:
+                     chunk_size: int = 20480, s: float = math.inf,
+                     mode: str = "abs") -> bytes:
     """Compress into the MGARD-X container format (decodable by
     `mgard-x -d`): Metadata preamble (little-endian ints) + proto header
     + |u64 sub_size| + X-Huffman stream over the Mallat corner-layout
-    quantization.  The encode mirror of :func:`_decompress_mgard_x`;
-    same support matrix (uniform grids, L-inf ABS, MultiDim, reorder=0,
-    2^k+1-compatible shapes).  CR<1 falls back to raw subdomain bytes
+    quantization.  The encode mirror of :func:`_decompress_mgard_x`.
+    Support matrix: uniform grids, MultiDim, reorder=0,
+    2^k+1-compatible shapes, L-inf AND finite-s error control, ABS and
+    REL modes.  CR<1 falls back to raw subdomain bytes
     (CPUPipelines.hpp:115-134)."""
     import jax
     import jax.numpy as jnp
@@ -680,19 +682,52 @@ def compress_mgard_x(data: np.ndarray, tolerance: float,
     d_eff = sum(1 for n in data.shape if n > 1)
     # T-typed tol (Metadata stores the T cast; mirror for header parity)
     tol_t = float(np.asarray(tolerance, dtype=data.dtype))
-    quantum = 2.0 * tol_t / ((l_target + 1) * (1 + 3.0 ** d_eff))
-    scaled = F / quantum
+    snorm = not math.isinf(s)
+    # REL -> ABS via the X NormCalculator's norm (L-inf for s=inf, L2
+    # otherwise; CompressionHighLevel.hpp:101-135)
+    norm = 1.0
+    abs_tol = tol_t
+    if mode == "rel":
+        norm = float(np.abs(data).max()) if not snorm \
+            else float(np.sqrt(np.sum(data.astype(np.float64) ** 2)))
+        abs_tol = tol_t * norm
+    if not snorm:
+        quantum = 2.0 * abs_tol / ((l_target + 1) * (1 + 3.0 ** d_eff))
+        scaled = F / quantum
+    else:
+        # levelwise quantizers * uniform level volumes, the exact
+        # inverse of _x_dequant_corner (LinearQuantization.hpp:495-545)
+        shapes = _x_level_shapes(data.shape, l_target)
+        dof = float(np.prod(data.shape))
+        factors = []
+        for l in range(l_target + 1):
+            quantizer = 2.0 * abs_tol / (np.exp2(s * l) * math.sqrt(dof))
+            vol = math.sqrt(np.prod([1.0 / (n - 1) for n in shapes[l]]))
+            factors.append(quantizer * vol)
+        scaled = np.empty(data.shape, dtype=np.float64)
+        for (l, _, _, _), sl in zip(transform.block_specs(hier),
+                                    _x_corner_slices(hier)):
+            scaled[sl] = F[sl] / factors[l]
     q = np.trunc(np.copysign(0.5 + np.abs(scaled), scaled)).astype(np.int64)
 
     blob = _encode_x_huffman(q.ravel(), dict_size, chunk_size)
+    raw = data.tobytes()
+    # Match the reference's EFFECTIVE raw-fallback boundary at the
+    # pre-zstd blob size: its Huffman blob carries a ~66 KB decodebook
+    # that zstd barely helps in its pipeline, so small inputs always
+    # take its CR<1 raw path — and its serial decoder dies with SIGFPE
+    # on Huffman-coded buffers below that boundary (inputs it never
+    # generates itself; verified against the live binary).  Falling
+    # back at the same boundary keeps every buffer we emit inside the
+    # set the binary actually decodes.
+    small = len(blob) >= len(raw)
     compressor = X_HUFFMAN
     if zstd:
         import zstandard
         blob = struct.pack("<Q", len(blob)) + \
             zstandard.ZstdCompressor(level=3).compress(blob)
         compressor = X_HUFFMAN_ZSTD
-    raw = data.tobytes()
-    if len(blob) >= len(raw):  # CR < 1: store the subdomain raw
+    if small or len(blob) >= len(raw):  # CR < 1: store the subdomain raw
         blob = raw
         compressor = X_HUFFMAN_ZSTD if zstd else X_HUFFMAN
     payload = struct.pack("<Q", len(blob)) + blob
@@ -714,10 +749,12 @@ def compress_mgard_x(data: np.ndarray, tolerance: float,
             "dimension": 1,
         },
         "error_control": {
-            "mode": 0,
-            "norm": NORM_L_INFINITY,
-            "s": math.inf,
+            "mode": 1 if mode == "rel" else 0,
+            "norm": 1 if snorm else NORM_L_INFINITY,   # S_NORM = 1
+            "s": s,
             "tolerance": tol_t,
+            **({"norm_of_original_data": norm}
+               if mode == "rel" else {}),
         },
         "domain_decomposition": {
             "method": 0,

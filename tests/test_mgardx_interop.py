@@ -257,3 +257,59 @@ def test_golden_reorder1_level_linearized():
     assert np.abs(out.astype(np.float64) - v).max() <= 1e-3
     # the reference binary reports this exact reconstruction
     assert np.abs(out.astype(np.float64) - ref).max() <= 1e-6
+
+
+def test_x_write_snorm_roundtrip():
+    """Round-5: the X write path also covers finite-s error control —
+    levelwise quantizers mirroring LinearQuantization.hpp exactly, so
+    the buffer decodes through our own (and the reference's) s-norm
+    decode path."""
+    from mgard_tpu.io import mgard_compat
+
+    from tests.test_compress_e2e import smooth_field
+
+    shape = (33, 33)
+    v = smooth_field(shape, seed=31).astype(np.float32)
+    buf = mgard_compat.compress_mgard_x(v, 1e-4, s=0.0)
+    header, _ = mgard_compat.read_container(buf)
+    assert header["error_control"]["norm"] == 1     # S_NORM
+    out = mgard_tpu.decompress(buf)
+    # s=0 bounds the L2 norm of the error
+    l2 = float(np.sqrt(np.mean((out.astype(np.float64) - v) ** 2)))
+    assert l2 <= 1e-4
+
+
+def test_x_write_rel_mode_roundtrip():
+    from mgard_tpu.io import mgard_compat
+
+    from tests.test_compress_e2e import smooth_field
+
+    shape = (33, 33)
+    v = (smooth_field(shape, seed=32) * 37.0).astype(np.float32)
+    buf = mgard_compat.compress_mgard_x(v, 1e-4, mode="rel")
+    out = mgard_tpu.decompress(buf)
+    assert np.abs(out.astype(np.float64) - v).max() <= 1e-4 * np.abs(v).max()
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not MGARDX.exists(),
+                    reason="mgard-x serial binary not built")
+def test_live_mgardx_decodes_our_snorm_buffer(tmp_path):
+    from mgard_tpu.io import mgard_compat
+
+    from tests.test_compress_e2e import smooth_field
+
+    shape = (33, 33, 33)
+    v = smooth_field(shape, seed=33).astype(np.float32)
+    comp = tmp_path / "ours.mgardx"
+    dec = tmp_path / "out.bin"
+    comp.write_bytes(mgard_compat.compress_mgard_x(v, 1e-4, s=0.0))
+    subprocess.run(
+        [str(MGARDX), "-x", "-i", str(comp), "-o", str(dec),
+         "-d", "serial"], check=True, capture_output=True)
+    got = np.fromfile(dec, dtype=np.float32).reshape(shape)
+    ours = mgard_tpu.decompress(comp.read_bytes())
+    # the reference must see the same reconstruction we do (both
+    # decode the same ints through the same dequant formulas)
+    assert np.abs(got.astype(np.float64)
+                  - ours.astype(np.float64)).max() <= 1e-6
