@@ -61,10 +61,15 @@ def _build_parser():
     rc = sub.add_parser("reconstruct",
                         help="MDR: progressive reconstruct to a tolerance")
     rc.add_argument("--input", "-i", required=True,
-                    help="directory produced by `refactor`")
+                    help="directory produced by `refactor` (or by the "
+                    "reference `mdr-x -z` with --format mdr-x)")
     rc.add_argument("--output", "-o", required=True)
     rc.add_argument("--tolerance", "-e", type=float, required=True)
     rc.add_argument("--smoothness", "-s", type=float, default=math.inf)
+    rc.add_argument("--format", choices=["native", "mdr-x"],
+                    default="native",
+                    help="mdr-x = read the reference tool's refactored "
+                    "directory layout (io/mdrx_compat.py)")
 
     z = sub.add_parser("zfp", help="fixed-rate (ZFP-style) compress")
     z.add_argument("--input", "-i", required=True)
@@ -180,6 +185,13 @@ def main(argv=None):
         from mgard_tpu.hierarchy import Hierarchy
         from mgard_tpu.models import mdr
 
+        if args.format == "mdr-x":
+            from mgard_tpu.io.mdrx_compat import mdrx_reconstruct
+            out = mdrx_reconstruct(args.input, tol=args.tolerance)
+            out.tofile(args.output)
+            print(f"reconstructed {out.nbytes} bytes (mdr-x artifact), "
+                  f"shape {out.shape}")
+            return
         indir = pathlib.Path(args.input)
         md = mdr.MDRMetadata.unpack((indir / "metadata.bin").read_bytes())
         hier = Hierarchy(md.shape)

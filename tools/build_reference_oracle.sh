@@ -19,6 +19,17 @@ echo "oracle at /tmp/mgard_oracle"
 # Optionally also build the mgard-x serial executable for live X-interop
 # tests (tests/test_mgardx_interop.py); golden fixtures in tests/data/
 # keep the decode path covered when this build is absent.
+# `with-mdr` additionally builds the reference mdr-x executable (MDR
+# progressive refactoring) for the live artifact-interop tests
+# (tests/test_mdrx_artifacts.py).
+if [ "$2" = "with-mdr" ] && [ ! -f /tmp/mgard_build_mdr/bin/mdr-x ]; then
+  cmake -S /root/reference -B /tmp/mgard_build_mdr -G Ninja \
+    -DCMAKE_BUILD_TYPE=Release -DMGARD_ENABLE_CLI=OFF \
+    -DMGARD_ENABLE_SERIAL=ON -DMGARD_ENABLE_OPENMP=OFF \
+    -DBUILD_TESTING=OFF -DMGARD_ENABLE_UNSTRUCTURED=OFF \
+    -DMGARD_ENABLE_MDR=ON
+  ninja -C /tmp/mgard_build_mdr mdr-x
+fi
 if [ "$2" = "with-x" ]; then
   if [ ! -f /tmp/mgard_build_x/bin/mgard-x ]; then
     cmake -S /root/reference -B /tmp/mgard_build_x -G Ninja \
