@@ -83,6 +83,12 @@ def _build_parser():
                    help="native = TPU lifting codec container; zfp-x = "
                    "the reference port's raw fixed-rate stream "
                    "(bit-compatible, models/zfp_stream.py)")
+    z.add_argument("--zfp-strides", choices=["reference", "correct"],
+                   default="reference",
+                   help="zfp-x only: 'reference' matches the port's "
+                   "bytes exactly (its ld-as-stride addressing covers "
+                   "only part of a 3-D array); 'correct' is true "
+                   "row-major zfp layout")
 
     zd = sub.add_parser("zfp-decompress", help="decode a ZFPT stream")
     zd.add_argument("--input", "-i", required=True)
@@ -95,6 +101,8 @@ def _build_parser():
     zd.add_argument("--dtype", choices=["float32", "float64"],
                     default="float32")
     zd.add_argument("--rate", type=int, default=8)
+    zd.add_argument("--zfp-strides", choices=["reference", "correct"],
+                    default="reference")
     return p
 
 
@@ -137,9 +145,9 @@ def main(argv=None):
                 buf = mgard_compat.compress_mgard(data, tol,
                                                   s=args.smoothness)
             else:
-                if not math.isinf(args.smoothness):
-                    sys.exit("error: mgard-x format supports L-inf only")
-                buf = mgard_compat.compress_mgard_x(data, tol)
+                buf = mgard_compat.compress_mgard_x(data, args.tolerance,
+                                                    s=args.smoothness,
+                                                    mode=args.mode)
         else:
             lossless = {"bitplane": Lossless.BITPLANE,
                         "bitplane-zstd": Lossless.BITPLANE_ZSTD,
@@ -214,7 +222,7 @@ def main(argv=None):
         data = data.reshape(args.shape)
         if args.format == "zfp-x":
             from mgard_tpu.models.zfp_stream import zfp_encode
-            buf = zfp_encode(data, args.rate)
+            buf = zfp_encode(data, args.rate, strides=args.zfp_strides)
         else:
             from mgard_tpu.models.zfp import compress_zfp
             buf = compress_zfp(data, rate=args.rate)
@@ -230,7 +238,7 @@ def main(argv=None):
             from mgard_tpu.models.zfp_stream import zfp_decode
             out = zfp_decode(open(args.input, "rb").read(),
                              tuple(args.shape), np.dtype(args.dtype),
-                             args.rate)
+                             args.rate, strides=args.zfp_strides)
         else:
             from mgard_tpu.models.zfp import decompress_zfp
             out = decompress_zfp(open(args.input, "rb").read())
