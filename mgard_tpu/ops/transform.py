@@ -222,6 +222,14 @@ def _extract_matrices(hier: Hierarchy, l: int):
 
 
 def _extract_old_all(hier: Hierarchy, A, l: int):
+    # One-pass Pallas coarse extract (ops/extract_kernels.py): reads A
+    # once instead of the slice + two-selection-matmul chain (2.74 ->
+    # ~1.0 ms at 512^3); output bit-identical (pure selection; hardware
+    # gate check 0b).  MGARD_TPU_XK=0 reverts.
+    if _XK and A.dtype == jnp.float32:
+        from . import extract_kernels as xk
+        if xk.extract_supported(hier, l):
+            return xk.extract_coarse_3d(hier, A, l)
     if _use_matmul(hier, l) and jnp.issubdtype(A.dtype, jnp.floating):
         dims = _level_dims(hier, l)
         mats = _extract_matrices(hier, l)
@@ -396,6 +404,8 @@ def _use_matmul(hier: Hierarchy, l: int) -> bool:
 # Gated on the same predicate for encode and decode so both sides run
 # bit-identical arithmetic.
 _GPK = os.environ.get("MGARD_TPU_GPK", "1") == "1"
+# Fused one-pass coarse extraction (ops/extract_kernels.py).
+_XK = os.environ.get("MGARD_TPU_XK", "1") == "1"
 # Pallas LPK stencil for the dim-0 mass+restrict half of the correction
 # (ops/lpk_kernels.py).  Benched head-to-head at 512^3 f32 on v5e
 # (round 4): rm0 kernel alone 1.33 ms vs the dim-0 HIGH matmul ~0.55 ms

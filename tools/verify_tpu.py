@@ -72,6 +72,25 @@ def main(edge: int = 128) -> int:
     tol = jnp.asarray(1e-3, jnp.float32)
     vj = jnp.asarray(v)
     L = hier.L
+
+    # --- 0b. one-pass extract kernel vs the matmul chain ---------------
+    # A pure selection: must be BIT-IDENTICAL, so container bytes do
+    # not depend on MGARD_TPU_XK.
+    print("== one-pass extract kernel vs matmul chain")
+    from mgard_tpu.ops import extract_kernels as xk
+    if xk.extract_supported(hier, L):
+        ck = jax.jit(lambda A: xk.extract_coarse_3d(hier, A, L))(vj)
+        saved_xk = transform._XK
+        try:
+            transform._XK = False
+            cm = jax.jit(
+                lambda A: transform._extract_old_all(hier, A, L))(vj)
+        finally:
+            transform._XK = saved_xk
+        check("extract kernel bit-identical",
+              bool(jnp.all(ck == cm)))
+    else:
+        check("extract kernel supported at this edge", False)
     if sk.gpk_supported(hier, L, decode=True):
         det2 = jax.jit(lambda A: sk._run_b1sub(
             sk._run_b20(A, hier, L), A, hier, L))(vj)
