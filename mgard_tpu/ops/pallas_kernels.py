@@ -642,20 +642,34 @@ def bp_decode_condense_f32(words2d: jax.Array, offsets: jax.Array,
 
 def _dec_dma_loop(meta_ref, planes_ref, words_ref, sems,
                   action: str) -> None:
-    """Fixed-size 32-row read per chunk (reads may overlap; garbage
-    planes past a chunk's exponent are masked by the caller)."""
+    """EXACT-size read per chunk: chunk c's row count is the next
+    offset minus its own (offsets are the cumsum of the exponents, so
+    consecutive diffs are e_c; meta slot BP_CB carries the next tile's
+    first offset).  Rows past e_c keep stale scratch and are masked by
+    the caller's ``b_idx < e`` select — the fixed 32-row form read ~2x
+    the stream (avg e ~12 at 512^3, measured 4.9 -> target ~3.8 ms for
+    the decode codec stage)."""
     base = pl.program_id(0) * _META_STRIDE
 
     def body(c, _):
         off = meta_ref[base + c]
-        dma = pltpu.make_async_copy(
-            words_ref.at[pl.ds(off, 32)],
-            planes_ref.at[c],
-            sems.at[c])
-        if action == 'start':
-            dma.start()
-        else:
-            dma.wait()
+        sz = meta_ref[base + c + 1] - off
+
+        def mk(j):
+            def br():
+                if j == 0:
+                    return
+                dma = pltpu.make_async_copy(
+                    words_ref.at[pl.ds(off, j)],
+                    planes_ref.at[c, pl.ds(0, j)],
+                    sems.at[c])
+                if action == 'start':
+                    dma.start()
+                else:
+                    dma.wait()
+            return br
+
+        jax.lax.switch(sz, [mk(j) for j in range(33)])
         return 0
 
     jax.lax.fori_loop(0, BP_CB, body, 0)
