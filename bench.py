@@ -245,10 +245,14 @@ def main():
             _sync((e, w, c))
             _sync(comp._decode(e, w, tol))
 
-            # measurement phase — everything below is already compiled
+            # measurement phase — everything below is already compiled.
+            # Best of 3 slope measurements: the shared/tunneled chip
+            # shows external HBM contention windows (same executables
+            # measured 11.4 and 17.0 ms decode within one hour); min
+            # over repeats reports the machine, not the neighbors.
             signal.alarm(MEASURE_BUDGET_S)
-            t_enc = timed(comp._encode, v, tol)
-            t_dec = timed(comp._decode, e, w, tol)
+            t_enc = min(timed(comp._encode, v, tol) for _ in range(3))
+            t_dec = min(timed(comp._decode, e, w, tol) for _ in range(3))
 
             nbytes = float(np.prod(shape)) * 4
             gbps = nbytes / (t_enc + t_dec) / 1e9
