@@ -194,6 +194,10 @@ def main(argv=None):
         from mgard_tpu.models import mdr
 
         if args.format == "mdr-x":
+            if not math.isinf(args.smoothness):
+                sys.exit("error: --format mdr-x reconstructs to an "
+                         "L-inf (MaxError-model) tolerance only; "
+                         "finite --smoothness is not supported")
             from mgard_tpu.io.mdrx_compat import mdrx_reconstruct
             out = mdrx_reconstruct(args.input, tol=args.tolerance)
             out.tofile(args.output)

@@ -349,10 +349,10 @@ _X_ROOT_BITS = 20       # root-table width: codes <= 20 bits decode with
 
 
 def _x_huffman_root_table(first, entry):
-    """Build the (length, key-index) root lookup over every 16-bit
+    """Build the (length, key-index) root lookup over every _X_ROOT_BITS-bit
     window, by the same accept rule as the serial decoder (length =
     FIRST l with l-bit prefix >= first[l]); windows whose code exceeds
-    16 bits keep length 0 (escape)."""
+    _X_ROOT_BITS bits keep length 0 (escape)."""
     T = _X_ROOT_BITS
     wv = np.arange(1 << T, dtype=np.uint32)
     tbl_len = np.zeros(1 << T, np.uint8)
@@ -381,9 +381,9 @@ def _x_huffman_decode_chunks(ddata, bits, entries, first, entry, keys,
     ``pos += codelen(pos)`` runs once per SYMBOL SLOT with every chunk
     advancing in lockstep: chunk_size iterations of tiny (nchunk,)
     vector ops instead of nchunk * chunk_size Python iterations.  Per
-    step, the 16-bit window at each chunk's cursor comes from three
+    step, the root-table window at each chunk's cursor comes from three
     byte gathers, and a root table maps windows to (code length, key
-    index) with two more gathers; the rare > 16-bit codes resolve
+    index) with two more gathers; the rare wider-than-root-table codes resolve
     per-length on just the escaped lanes.  The accept rule (length =
     FIRST l with l-bit prefix >= first[l]) is the serial decoder's, so
     streams decode bit-identically.
@@ -688,8 +688,14 @@ def compress_mgard_x(data: np.ndarray, tolerance: float,
     norm = 1.0
     abs_tol = tol_t
     if mode == "rel":
+        # L-inf REL: abs max.  Finite-s REL: the reference's default
+        # normalize_coordinates=true makes its NormCalculator report the
+        # RMS, sqrt(sum x^2 / ndof) (ErrorToleranceCalculator.hpp
+        # calc_norm_decomposed + Config.cpp normalize_coordinates) —
+        # NOT the raw L2 sum, which would loosen the written bound by
+        # sqrt(ndof).
         norm = float(np.abs(data).max()) if not snorm \
-            else float(np.sqrt(np.sum(data.astype(np.float64) ** 2)))
+            else float(np.sqrt(np.mean(data.astype(np.float64) ** 2)))
         abs_tol = tol_t * norm
     if not snorm:
         quantum = 2.0 * abs_tol / ((l_target + 1) * (1 + 3.0 ** d_eff))
@@ -702,7 +708,8 @@ def compress_mgard_x(data: np.ndarray, tolerance: float,
         factors = []
         for l in range(l_target + 1):
             quantizer = 2.0 * abs_tol / (np.exp2(s * l) * math.sqrt(dof))
-            vol = math.sqrt(np.prod([1.0 / (n - 1) for n in shapes[l]]))
+            vol = math.sqrt(np.prod([1.0 / (n - 1) for n in shapes[l]
+                                     if n > 1]))
             factors.append(quantizer * vol)
         scaled = np.empty(data.shape, dtype=np.float64)
         for (l, _, _, _), sl in zip(transform.block_specs(hier),
@@ -835,7 +842,11 @@ def _x_dequant_corner(q_corner: np.ndarray, hier, l_target: int, tol: float,
     factors = []
     for l in range(l_target + 1):
         quantizer = 2.0 * tol / (np.exp2(s * l) * math.sqrt(dof))
-        vol = math.sqrt(np.prod([1.0 / (n - 1) for n in shapes[l]]))
+        # flat dims contribute no volume (the reference's calc_volume
+        # leaves a dof=1 dim's volume array untouched at 0 — degenerate
+        # upstream; factor 1 is the only usable reading)
+        vol = math.sqrt(np.prod([1.0 / (n - 1) for n in shapes[l]
+                                 if n > 1]))
         factors.append(quantizer * vol)
     fine = np.empty(shape, dtype=np.float64)
     from ..ops.transform import block_specs

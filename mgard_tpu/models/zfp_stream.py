@@ -369,7 +369,10 @@ def zfp_encode(data: np.ndarray, rate: float,
     size = 4 ** ndim
     perm = _PERMS[ndim]
     prec, ebias, ebits = tr["prec"], tr["ebias"], tr["ebits"] + 1
-    stream = 0
+    # linear-time stream assembly: each block's chunk ORs into its byte
+    # span of a preallocated buffer (a single Python bigint accumulator
+    # would recopy the whole stream per block — O(nblocks^2))
+    out = np.zeros(zfp_stream_bytes(data.shape, rate), dtype=np.uint8)
     base = 0
     for origin, extent in _blocks_iter(data.shape):
         vals = flat[_block_addr(origin, extent, st)]
@@ -396,10 +399,14 @@ def zfp_encode(data: np.ndarray, rate: float,
             kmin = prec - maxprec if prec > maxprec else 0
             body = _encode_block_ints(ub, maxbits - ebits, prec, kmin)
             chunk |= body << ebits
-            stream |= chunk << base
+            bit0 = base & 7
+            byte0 = base >> 3
+            span = (bit0 + maxbits + 7) >> 3
+            piece = np.frombuffer(
+                (chunk << bit0).to_bytes(span, "little"), np.uint8)
+            out[byte0:byte0 + span] |= piece
         base += maxbits
-    nbytes = zfp_stream_bytes(data.shape, rate)
-    return stream.to_bytes(nbytes, "little")
+    return out.tobytes()
 
 
 def zfp_decode(buf: bytes, shape, dtype, rate: float,
@@ -415,12 +422,17 @@ def zfp_decode(buf: bytes, shape, dtype, rate: float,
     size = 4 ** ndim
     perm = _PERMS[ndim]
     prec, ebias, ebits = tr["prec"], tr["ebias"], tr["ebits"] + 1
-    stream = int.from_bytes(buf, "little")
     out = np.zeros(int(np.prod(shape)), dtype=dtype)
     base = 0
     mask_prec = (1 << prec) - 1
     for origin, extent in _blocks_iter(shape):
-        chunk = (stream >> base) & ((1 << maxbits) - 1)
+        # linear-time chunk slice (bigint '>> base' recopies the whole
+        # remaining stream per block)
+        bit0 = base & 7
+        byte0 = base >> 3
+        span = (bit0 + maxbits + 7) >> 3
+        chunk = (int.from_bytes(buf[byte0:byte0 + span], "little")
+                 >> bit0) & ((1 << maxbits) - 1)
         base += maxbits
         addr = _block_addr(origin, extent, st)
         if not (chunk & 1):          # continuation bit 0: zero block

@@ -313,3 +313,56 @@ def test_live_mgardx_decodes_our_snorm_buffer(tmp_path):
     # decode the same ints through the same dequant formulas)
     assert np.abs(got.astype(np.float64)
                   - ours.astype(np.float64)).max() <= 1e-6
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not MGARDX.exists(),
+                    reason="mgard-x serial binary not built")
+def test_x_write_rel_snorm_matches_reference_norm(tmp_path):
+    """Round-5 review fix: REL + finite-s records the reference's RMS
+    norm (normalize_coordinates=true default), not the raw L2 sum —
+    the recorded norm must match the binary's own to f32 rounding."""
+    from mgard_tpu.io import mgard_compat
+
+    x = np.linspace(0, 1, 33)
+    v = (np.sin(3 * x)[:, None, None] * np.cos(2 * x)[None, :, None]
+         * (1 + x)[None, None, :]).astype(np.float32)
+    raw = tmp_path / "in.bin"
+    ref = tmp_path / "ref.mgardx"
+    v.tofile(raw)
+    subprocess.run(
+        [str(MGARDX), "-z", "-i", str(raw), "-o", str(ref), "-dt", "s",
+         "-dim", "3", "33", "33", "33", "-em", "rel", "-e", "1e-3",
+         "-s", "0", "-l", "huffman-zstd", "-d", "serial"],
+        check=True, capture_output=True)
+    href, _ = mgard_compat.read_container(ref.read_bytes())
+    ref_norm = href["error_control"]["norm_of_original_data"]
+    ours = mgard_compat.compress_mgard_x(v, 1e-3, s=0.0, mode="rel")
+    hours, _ = mgard_compat.read_container(ours)
+    our_norm = hours["error_control"]["norm_of_original_data"]
+    assert abs(our_norm - ref_norm) <= 1e-5 * abs(ref_norm)
+    # and the binary decodes our REL s-norm buffer to our reconstruction
+    mine = tmp_path / "ours.mgardx"
+    mine.write_bytes(ours)
+    out_f = tmp_path / "back.bin"
+    subprocess.run([str(MGARDX), "-x", "-i", str(mine), "-o", str(out_f),
+                    "-d", "serial"], check=True, capture_output=True)
+    back = np.fromfile(out_f, dtype=np.float32).reshape(v.shape)
+    assert np.abs(back.astype(np.float64)
+                  - mgard_tpu.decompress(ours).astype(np.float64)
+                  ).max() <= 1e-6
+
+
+def test_x_write_snorm_flat_dim():
+    """Round-5 review fix: s-norm volumes skip flat dims (was
+    ZeroDivisionError); the reference's own volume for a dof=1 dim is
+    a degenerate 0, so factor 1 is the only usable reading."""
+    from mgard_tpu.io import mgard_compat
+
+    rng = np.random.default_rng(9)
+    v = rng.standard_normal((17, 17, 1)).astype(np.float32) * 0.1
+    buf = mgard_compat.compress_mgard_x(v, 1e-2, s=0.0)
+    out = mgard_tpu.decompress(buf)
+    assert out.shape == v.shape
+    l2 = float(np.sqrt(np.mean((out.astype(np.float64) - v) ** 2)))
+    assert l2 <= 1e-2
